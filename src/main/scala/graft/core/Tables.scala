@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-provided parquet directory layout
+  * (`<dir>/<name>.parquet`, see TESTDATA.md). One DataFrame per named table —
+  * the Spark-native analogue of the reference's dict-of-DataFrames pattern
+  * (reference: src/extract.py:214, src/load.py:68-73).
+  *
+  * Scale note: these are plain lazy `spark.read.parquet` scans. Catalyst
+  * prunes columns and pushes filters into the parquet reader, so callers
+  * should compose projections/filters on the returned frame rather than
+  * materializing it.
+  */
+object Tables {
+
+  /** TPC-H-ish star schema + events stream + LLM-pipeline tables. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every table as a temp view so the same surface is reachable
+    * from `spark.sql`. Idempotent. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
