@@ -21,8 +21,20 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read the raw int64 nanos (legacy conf) and convert
+      // to a micros timestamp with integer division — `ts div 1000` stays
+      // in long arithmetic (a double roundtrip would lose precision above
+      // 2^53 ns). DuckDB oracles cast with CAST(ts AS TIMESTAMP) for the
+      // same micros truncation.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(dir, name))
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path(dir, name))
+  }
 
   /** Register every table as a temp view so the same surface is reachable
     * from `spark.sql`. Idempotent. */

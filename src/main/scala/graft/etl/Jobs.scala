@@ -1,0 +1,135 @@
+package graft.etl
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+
+/** E2 — watermark: max(created_at), max(last_updated) over the previously
+  * landed table. The reference implements MAX as set-dedup + sorted-insert +
+  * take-last (src/extract.py:176-199); that is literally distinct→sort→last
+  * = MAX, so here it is a 2-value aggregate — a partial (map-side combined)
+  * agg that returns one row to the driver regardless of table size. */
+object Watermark {
+  final case class Marks(created: Timestamp, updated: Timestamp)
+
+  def of(landed: DataFrame): Option[Marks] = {
+    val row = landed
+      .agg(max(col("created_at")).as("c"), max(col("last_updated")).as("u"))
+      .head()
+    if (row.isNullAt(0) && row.isNullAt(1)) None
+    else Some(Marks(row.getTimestamp(0), row.getTimestamp(1)))
+  }
+}
+
+/** E1+E3 — per-table full-vs-incremental ingest (reference:
+  * src/extract.py:202-238, :259-295).
+  *
+  * Per table: no landed parquet → full scan; else compute the watermark
+  * from the landed data and pull only rows with
+  * `created_at > c OR last_updated > u` (strict `>`, pushed down to the
+  * source). Empty deltas are skipped, not written as empty files
+  * (SURVEY.md §7.3-8). The landed object is REPLACED by each non-empty
+  * delta, exactly like the reference's same-key upload — the watermark
+  * therefore advances off the latest delta only, which is sound because
+  * each delta's max dominates the previous watermark.
+  */
+final class IngestJob(source: OltpSource, landed: TableStore) {
+
+  /** Runs one ingest round; returns the tables that produced a delta. */
+  def run(): Seq[String] =
+    source.listTables().flatMap { table =>
+      val delta: DataFrame =
+        if (!landed.exists(table)) source.full(table)
+        else Watermark.of(landed.read(table)) match {
+          case Some(m) => source.incremental(table, m.created, m.updated)
+          case None    => source.full(table)
+        }
+      // isEmpty is a cheap limit-1 job; mirrors `len(results) > 0`
+      // (reference: src/extract.py:230-236).
+      if (delta.isEmpty) None
+      else { landed.write(table, delta); Some(table) }
+    }
+}
+
+/** Transform stage (reference: src/transform.py:256-308): read the 11
+  * landed tables, build 8 dims + 3 facts as independent lazy plans, write
+  * each to the processed store. Each source table is read once; address
+  * feeds both dim_location and dim_counterparty from the same scan. */
+final class TransformJob(landed: TableStore, processed: TableStore) {
+
+  /** dim_date generation range hardcoded by the reference's transform()
+    * (src/transform.py:276). */
+  val dimDateStart = "2022-01-01"
+  val dimDateEnd = "2024-01-01"
+
+  def run(spark: SparkSession): Seq[String] = {
+    def in(name: String): DataFrame =
+      landed.read(name, Schemas.sourceTables(name))
+
+    val address = in("address")
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "dim_date" -> DimBuilders.dimDate(spark, dimDateStart, dimDateEnd),
+      "dim_location" -> DimBuilders.dimLocation(address),
+      "dim_design" -> DimBuilders.dimDesign(in("design")),
+      "dim_currency" -> DimBuilders.dimCurrency(in("currency")),
+      "dim_counterparty" -> DimBuilders.dimCounterparty(address, in("counterparty")),
+      "dim_staff" -> DimBuilders.dimStaff(in("staff"), in("department")),
+      "dim_transaction" -> DimBuilders.dimTransaction(in("transaction")),
+      "dim_payment_type" -> DimBuilders.dimPaymentType(in("payment_type")),
+      "fact_sales_order" -> FactBuilders.factSalesOrder(in("sales_order")),
+      "fact_purchase_order" -> FactBuilders.factPurchaseOrder(in("purchase_order")),
+      "fact_payment" -> FactBuilders.factPayment(in("payment")))
+
+    outputs.map { case (name, df) => processed.write(name, df); name }
+  }
+}
+
+/** Load stage L1–L3 (reference: src/load.py:51-152): read every table in
+  * the processed store once (the reference accidentally scans the bucket
+  * twice — src/load.py:83 + :130 — not replicated, SURVEY.md §2.4) and
+  * append it to the warehouse. Append-only: re-loads accumulate version
+  * rows rather than updating (SCD-2-lite, verified by the reference's
+  * end-to-end test). */
+final class LoadJob(processed: TableStore, warehouse: TableStore) {
+
+  def run(): Seq[String] =
+    processed.list().map { table =>
+      warehouse.append(table, processed.read(table))
+      table
+    }
+}
+
+/** JDBC warehouse sink variant of the load stage for production parity
+  * with the reference's `to_sql(..., chunksize=1000)` (src/load.py:102-110).
+  * Executors write partitions in parallel with batched inserts. */
+final class JdbcWarehouseSink(url: String, props: java.util.Properties,
+    batchSize: Int = 1000) {
+  def append(table: String, df: DataFrame): Unit =
+    df.write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+}
+
+/** The three stages chained over shared storage — the reference runs them
+  * as independent Lambdas on EventBridge timers with S3 as the only
+  * coupling (SURVEY.md §3); here they compose directly or run individually
+  * for micro-batch scheduling. */
+final class Pipeline(
+    source: OltpSource,
+    ingested: TableStore,
+    processed: TableStore,
+    warehouse: TableStore) {
+
+  def ingestedStore: TableStore = ingested
+  def processedStore: TableStore = processed
+  def warehouseStore: TableStore = warehouse
+
+  def runExtract(): Seq[String] = new IngestJob(source, ingested).run()
+  def runTransform(spark: SparkSession): Seq[String] =
+    new TransformJob(ingested, processed).run(spark)
+  def runLoad(): Seq[String] = new LoadJob(processed, warehouse).run()
+
+  def runAll(spark: SparkSession): (Seq[String], Seq[String], Seq[String]) =
+    (runExtract(), runTransform(spark), runLoad())
+}

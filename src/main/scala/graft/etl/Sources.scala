@@ -1,0 +1,64 @@
+package graft.etl
+
+import java.sql.Timestamp
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** OLTP source abstraction (reference ops S1–S3, src/extract.py:77-119).
+  * JDBC is one implementation behind the trait; a parquet-backed source
+  * serves tests (mirroring how the reference swaps real-Postgres + mock-S3,
+  * SURVEY.md §5). */
+trait OltpSource {
+  /** S1 — catalog scan: list base tables. */
+  def listTables(): Seq[String]
+  /** S2 — full-table scan. */
+  def full(table: String): DataFrame
+  /** S3 — incremental scan (CDC-lite): strict-`>` timestamp watermark on
+    * `created_at OR last_updated` (reference: src/extract.py:110-112). */
+  def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame
+}
+
+object OltpSource {
+  /** Shared incremental predicate so both implementations agree on the
+    * strict-`>` OR semantics. For JDBC, Catalyst pushes this filter into
+    * the remote query (predicate pushdown — SURVEY.md §4). */
+  def deltaFilter(df: DataFrame, created: Timestamp, updated: Timestamp): DataFrame =
+    df.filter(col("created_at") > created || col("last_updated") > updated)
+}
+
+/** Test/local implementation: each table a parquet dataset under `dir`.
+  * The incremental filter is pushed into the parquet scan by Catalyst. */
+final class ParquetSource(spark: SparkSession, dir: String) extends OltpSource {
+  private val store = new ParquetStore(spark, dir)
+  override def listTables(): Seq[String] = store.list()
+  override def full(table: String): DataFrame =
+    Schemas.sourceTables.get(table) match {
+      case Some(schema) => store.read(table, schema)
+      case None         => store.read(table)
+    }
+  override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
+    OltpSource.deltaFilter(full(table), created, updated)
+}
+
+/** Production implementation over JDBC. `partitionColumn` options can be
+  * layered on per-table for parallel scans of large sources; the dimension
+  *-sized totesys tables read fine on one partition each.
+  * Reference parity: table discovery via information_schema
+  * (src/extract.py:81-84); SELECT * scans (src/extract.py:98). */
+final class JdbcSource(spark: SparkSession, url: String, props: Properties)
+    extends OltpSource {
+
+  override def listTables(): Seq[String] =
+    spark.read.jdbc(url,
+        """(SELECT table_name FROM information_schema.tables
+          | WHERE table_schema = 'public' AND table_type = 'BASE TABLE') t"""
+          .stripMargin, props)
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  override def full(table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
+    OltpSource.deltaFilter(full(table), created, updated)
+}
