@@ -14,7 +14,10 @@ object SparkEntry {
   /** Every registered capability, in display order. */
   def allQueries: Seq[GQuery] =
     _root_.graft.queries.Relational.defs ++
-      _root_.graft.queries.EtlParity.defs
+      _root_.graft.queries.EtlParity.defs ++
+      _root_.graft.queries.Analytics.defs ++
+      _root_.graft.queries.TextDedup.defs ++
+      _root_.graft.queries.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact, word/shingle
+  * Jaccard, MinHash+LSH banding, SimHash. Designed for the 100 TB shape:
+  *
+  *  - exact dedup is one hash-shuffle on the content key;
+  *  - pairwise Jaccard is quadratic and exists as the small-scope oracle /
+  *    verifier — the scale path is MinHash+LSH: O(n) signatures, then a
+  *    band-bucket equi-join so only colliding docs are compared;
+  *  - SimHash reduces each doc to 64 bits; near-dup search becomes a
+  *    chunk-key equi-join (pigeonhole on 16-bit chunks) instead of n².
+  *
+  * Everything is deterministic (seeded xxhash64) and pure column algebra —
+  * no UDFs, so whole-stage codegen applies throughout.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content with the kept id and
+    * the duplicate count. `sha2`/raw-text keying are equivalent; grouping
+    * on the raw column lets Spark hash-partition directly. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, token) pairs — the set representation used by Jaccard
+    * and MinHash. */
+  def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .distinct()
+
+  /** Distinct (id, n-word-shingle) pairs for n-gram Jaccard (n >= 2). */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("w"))
+      .filter(size(TextOps.tokens(col("w"))) === n)
+      .distinct()
+  }
+
+  /** All-pairs Jaccard over a token/shingle set frame (columns doc_id, w):
+    * |A∩B| via self-equi-join on the token, sizes via a broadcastable
+    * per-doc count. Quadratic in colliding docs — scope the input (this is
+    * the verifier; LSH is the scale path). */
+  def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id1", "n" -> "n1"))), Seq("id1"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id2", "n" -> "n2"))), Seq("id2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes permutations simulated as seeded
+    * xxhash64(token, seed=i); sig_i = min over the doc's tokens. One
+    * explode + one groupBy — O(tokens), map-side combined. */
+  def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("w"), lit(i))).as(s"sig_$i"))
+    sets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: split the signature into
+    * `bands` groups of rows, hash each band, and emit (doc_id, band_idx,
+    * band_hash) — docs sharing any (band_idx, band_hash) are candidates.
+    * Probability a pair with Jaccard s collides: 1-(1-s^r)^b. */
+  def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      struct(lit(b).as("band_idx"), xxhash64(slice :+ lit(b): _*).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs from LSH banding (distinct on the pair). */
+  def lshCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    * pairs → exact Jaccard verification of candidates only. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sets = tokenSet(df, idCol, textCol).cache()
+    val cands = lshCandidates(lshBands(minhashSignatures(sets, numHashes), numHashes, bands))
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sets.withColumnRenamed("doc_id", "id1"), Seq("id1"))
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "id2", "w" -> "w2")), Seq("id2"))
+      .filter(col("w") === col("w2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id1", "n" -> "n1"))), Seq("id1"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id2", "n" -> "n2"))), Seq("id2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the doc's token multiset: per bit, sum +1/-1
+    * weighted by token occurrences; bit set iff the sum is positive.
+    * Computed as 64 conditional aggregates after one explode. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit_$i")
+    }
+    val sums = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates by the pigeonhole trick: two signatures
+    * within Hamming distance d < chunks must share at least one of the
+    * 16-bit chunks exactly; equi-join on (chunk_idx, chunk_value), then
+    * verify the true Hamming distance with bit_count(xor). */
+  def simhashNearDups(signatures: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = signatures.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)
+            .as("chunk_value"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.chunk_idx"), col("ch.chunk_value"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx")
+          && col("a.chunk_value") === col("b.chunk_value")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

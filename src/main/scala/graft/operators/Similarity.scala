@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - brute-force cosine top-k: exact; the query side is broadcast and the
+  *    candidate side streams through one scan — O(Q·N) flops but only one
+  *    pass over the data, no shuffle of the big side until the final
+  *    per-query top-k (which AQE keeps small because Q is small);
+  *  - LSH (random-hyperplane) bucketing with multi-probe: assigns every
+  *    vector a small bucket id so candidate generation becomes a bucket
+  *    equi-join — the IVF-style scale path; probing neighbors at Hamming
+  *    distance 1 trades a constant factor for recall.
+  *
+  * All column algebra (`zip_with`/`aggregate`), no UDFs — the dot products
+  * stay inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two array<numeric> columns in double
+    * precision (sequential fold, deterministic across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * `queries` must be small (broadcast); `candidates` can be arbitrarily
+    * large. Self-matches excluded via id inequality. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` in [-1, 1), seeded —
+    * no runtime randomness, so plans are reproducible run to run. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def bucketId(embedding: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(embedding, planeCol) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN via LSH buckets with Hamming-1 multi-probe: each query probes its
+    * own bucket plus every bucket that differs in one bit, candidates come
+    * from a bucket equi-join, and exact cosine ranks the survivors. */
+  def annTopK(queries: DataFrame, candidates: DataFrame,
+      numPlanes: Int, dim: Int, k: Int, maxProbeHamming: Int = 2): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val cands = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    // probe masks: all bucket perturbations within the Hamming budget.
+    // Random/isotropic data needs distance 2 for useful recall; clustered
+    // near-dup data does fine at 1 (fewer probes = fewer candidates).
+    val masks: Seq[Long] = {
+      val h1 = (0 until numPlanes).map(p => 1L << p)
+      val h2 = for {
+        p <- 0 until numPlanes; q <- (p + 1) until numPlanes
+      } yield (1L << p) | (1L << q)
+      Seq(0L) ++ (if (maxProbeHamming >= 1) h1 else Nil) ++
+        (if (maxProbeHamming >= 2) h2 else Nil)
+    }
+    val probes = masks.map(m => col("qbucket").bitwiseXOR(lit(m)))
+    val qs = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        bucketId(col("embedding"), planes).as("qbucket"))
+      .withColumn("probe", explode(array(probes: _*)))
+      .drop("qbucket")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(qs), col("bucket") === col("probe"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
+  /** Bucket occupancy histogram — the partitioning diagnostic for the ANN
+    * index (skewed buckets → add planes or salt). */
+  def bucketHistogram(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =
+    vectors.select(bucketId(col("embedding"),
+        hyperplanes(numPlanes, dim)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure column algebra (codegen'd, no UDFs) — each is a narrow per-row
+  * transform that scales embarrassingly: no shuffle, full pushdown.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; `\s+` with trim so runs of spaces don't
+    * produce empty tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword segmentation regex: splits on word/digit/punct
+    * boundaries the way byte-pair pretokenizers do (letters runs, digit
+    * runs, single punct marks each count as a token). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Quality heuristics: length, mean token length, stopword ratio,
+    * punctuation/digit/whitespace character ratios. */
+  def qualityColumns(text: Column, stopwords: Seq[String]): Seq[Column] = {
+    val n = tokenCount(text)
+    val chars = length(text).cast("double")
+    Seq(
+      length(text).cast("long").as("n_chars"),
+      n.as("n_tokens"),
+      round((chars - (n - lit(1)).cast("double")) / n.cast("double"), 4)
+        .as("avg_token_len"),
+      round(size(filter(tokens(text),
+          t => t.isInCollection(stopwords))).cast("double") / n.cast("double"), 4)
+        .as("stopword_ratio"),
+      round((chars - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        / chars, 4).as("punct_ratio"))
+  }
+
+  /** Content fingerprint: md5 of the raw bytes (stable across engines). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over characters (Rabin–Karp style) modulo a
+    * large prime, computed with `aggregate` over the char codepoints —
+    * deterministic, codegen-friendly, no UDF. Modular form keeps the
+    * accumulator < 1e9+7 so `acc * P + c` never overflows a long under
+    * ANSI arithmetic. */
+  def rollingHash(text: Column): Column = {
+    val M = 1000000007L // prime modulus; acc*P stays well under 2^63
+    val P = 1000003L
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(P) + c) % lit(M))
+  }
+
+  /** Character n-gram profile language-ID heuristic: scores text against
+    * tiny per-language stopword profiles and picks the argmax (returns
+    * "und" when nothing matches). Profiles are the classic function words;
+    * this is the standard n-gram/stopword LID shape at pipeline scale —
+    * one pass, no shuffle. */
+  val lidProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores: Seq[(String, Column)] = lidProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        lang -> size(filter(toks, t => t.isInCollection(words))).cast("double")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      // first (alphabetical) argmax wins, matching a stable tie-break
+      when(score === best && score > 0 && acc === "und", lit(lang))
+        .otherwise(acc)
+    }
+  }
+}

