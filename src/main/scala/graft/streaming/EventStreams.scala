@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming surface over the events schema ([EXT] per
+  * SURVEY.md §2.5 — the reference's only "streaming" is EventBridge
+  * micro-batch; this is the Spark-native unbounded version of the same
+  * dataflow, sharing semantics with the batch Analytics queries).
+  *
+  * Scale: watermarks bound state; windowed aggs shuffle once on
+  * (window, key); sessionization keeps one small state object per user key
+  * and emits on event-time timeout — the standard mapGroupsWithState
+  * pattern for out-of-order streams.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** One closed (or final) session per user: [start, end] + event count. */
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Internal per-user session state (public: the state encoder's codegen
+    * needs constructor/accessor visibility). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Tumbling-window counts with a watermark for late data. Works on a
+    * streaming OR batch frame (same plan — Spark unifies them). */
+  def windowedCounts(events: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window per-user activity (10 min window, 5 min slide). */
+  def slidingActivity(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Gap-based sessionization with custom state: a session closes after
+    * `gapMinutes` of inactivity (tracked by event-time timeout against the
+    * watermark). Emits each closed session exactly once. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int, watermarkDelay: String): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val events = batch.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+        state.remove()
+      } else if (events.nonEmpty) {
+        var cur = state.getOption.orNull
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case null => cur = SessionState(t, t, 1)
+            case s if t - s.last > gapMs =>
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+              cur = SessionState(t, t, 1)
+            case s => cur = SessionState(s.start, math.max(s.last, t), s.n + 1)
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.last + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Micro-batch file ingestion: the streaming analogue of the reference's
+    * timer-driven extract — new parquet files under `dir` are picked up
+    * `maxFilesPerTrigger` at a time with exactly-once tracking in the
+    * checkpoint (replaces the hand-rolled timestamp watermark for
+    * file-landed data). */
+  def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import EventStreams.{Event, Session}
+
+/** Streaming semantics driven through MemoryStream micro-batches:
+  * watermark advancement, late-data handling, session closure on
+  * event-time timeout. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long,
+      typ: String = "click", v: Double = 1.0) = Event(id, ts(t), user, typ, v)
+
+  test("windowed counts over a bounded stream (append after watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append)
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:10:00", 1), ev(2, "2024-01-01 00:20:00", 2),
+        ev(3, "2024-01-01 01:05:00", 1))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      mem.addData(ev(4, "2024-01-01 03:00:00", 3))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(3))).toMap
+      assert(rows("2024-01-01 00:00:00.0") === 2L)
+      assert(rows("2024-01-01 01:00:00.0") === 1L)
+    } finally q.stop()
+  }
+
+  test("windowedCounts is stream/batch unified (same plan on a batch frame)") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2024-01-01 00:10:00", 1), ev(2, "2024-01-01 00:20:00", 2),
+      ev(3, "2024-01-01 01:05:00", 1)).toDF()
+    val out = EventStreams.windowedCounts(batch, "1 hour", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3))).toMap
+    assert(out("2024-01-01 00:00:00.0") === 2L)
+    assert(out("2024-01-01 01:00:00.0") === 1L)
+  }
+
+  test("sessionize: 30-min gap closes a session; timeout emits it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(spark, mem.toDS(), 30, "5 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2-hour gap
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:10:00", 1))
+      q.processAllAvailable()
+      // new event after the gap starts session 2 AND (after watermark
+      // advances past last+gap) times out session 1
+      mem.addData(ev(3, "2024-01-01 02:00:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 06:00:00", 2))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(sessions.exists(s =>
+        s.session_start == ts("2024-01-01 00:00:00")
+          && s.session_end == ts("2024-01-01 00:10:00") && s.n_events == 2),
+        s"got ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("file stream picks up newly landed parquet micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("stream-src")
+    val out = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-ckpt")
+    Seq(ev(1, "2024-01-01 00:00:00", 1)).toDF()
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.fileStream(spark, dir,
+      Seq.empty[Event].toDF().schema, maxFilesPerTrigger = 2)
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      Seq(ev(2, "2024-01-01 00:05:00", 2), ev(3, "2024-01-01 00:06:00", 3)).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3)
+    } finally q.stop()
+  }
+}
