@@ -97,22 +97,33 @@ object Dedup {
       .distinct()
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
-    * pairs → exact Jaccard verification of candidates only. */
+    * pairs → exact Jaccard verification of candidates only.
+    *
+    * Verification attaches each doc's sorted distinct-token ARRAY to the
+    * pair (hash join on the doc id — broadcast when the per-doc table is
+    * dim-sized) and computes `array_intersect` inside codegen. On a
+    * high-self-similarity corpus the candidate set is near-quadratic, so
+    * an explode-style token join would shuffle |cands|·|tokens| rows;
+    * the array form keeps verification shuffle-free per pair. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sets = tokenSet(df, idCol, textCol).cache()
-    val cands = lshCandidates(lshBands(minhashSignatures(sets, numHashes), numHashes, bands))
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sets.withColumnRenamed("doc_id", "id1"), Seq("id1"))
-      .join(sets.withColumnsRenamed(Map("doc_id" -> "id2", "w" -> "w2")), Seq("id2"))
-      .filter(col("w") === col("w2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-    inter
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id1", "n" -> "n1"))), Seq("id1"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id2", "n" -> "n2"))), Seq("id2"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+    val sets = tokenSet(df, idCol, textCol)
+    // cache the band frame: it feeds BOTH sides of the candidate self-join,
+    // and without materialization the whole tokenize→minhash→band pipeline
+    // executes twice (exchange reuse does not survive the self-join aliases)
+    val bandsDf = lshBands(minhashSignatures(sets, numHashes), numHashes, bands)
+      .cache()
+    val cands = lshCandidates(bandsDf)
+    val tokArr = df.select(col(idCol).as("doc_id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val a1 = tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1"))
+    val a2 = tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2"))
+    cands
+      .join(broadcast(a1), Seq("id1"))
+      .join(broadcast(a2), Seq("id2"))
+      .withColumn("c", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
