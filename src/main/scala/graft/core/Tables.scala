@@ -22,6 +22,7 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read the raw int64 nanos (legacy conf) and convert

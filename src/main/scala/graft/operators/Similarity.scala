@@ -30,7 +30,18 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Composable higher-order-function cosine (interpreted; kept as the
+    * registration-free fallback and the cross-check for the native path). */
+  def cosineFold(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Codegen'd native cosine ([[graft.functions.CosineSimilarity]]) — the
+    * hot-path kernel. Requires GraftFunctions.register on the session,
+    * which [[graft.core.Tables]] performs on every load; accumulation
+    * order matches cosineFold bit for bit. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(
+      transform(a, _.cast("double")), transform(b, _.cast("double")))
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be small (broadcast); `candidates` can be arbitrarily

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Native codegen'd cosine vs the higher-order-function fold: bit-identical
+  * on real embeddings, SQL-reachable, null-safe. */
+class CosineSimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native cosine matches the HOF fold bit for bit on real embeddings") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+    val diffs = pairs.select(
+        Similarity.cosine(col("qe"), col("embedding")).as("native"),
+        Similarity.cosineFold(col("qe"), col("embedding")).as("fold"))
+      .filter(col("native") =!= col("fold"))
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("reachable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(0.5d, 0.5d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("null and zero-norm handling") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_cosine(array(0.0d, 0.0d), array(1.0d, 1.0d)) AS zero_norm,
+        |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_in
+        |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
+  test("float arrays are implicitly cast") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+}
