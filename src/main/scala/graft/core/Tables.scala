@@ -30,12 +30,23 @@ object Tables {
       // in long arithmetic (a double roundtrip would lose precision above
       // 2^53 ns). DuckDB oracles cast with CAST(ts AS TIMESTAMP) for the
       // same micros truncation.
+      //
+      // The raw nanos survive as `ts_ns`: predicates on the converted `ts`
+      // cannot push through timestamp_micros(), so time-range scans (CDC
+      // watermark, partition pruning at scale) must filter on ts_ns — see
+      // eventsTsNanos for literal conversion.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(path(dir, name))
   }
+
+  /** UTC instant → raw nanos literal for pushdown-friendly filters on
+    * events.ts_ns. */
+  def eventsTsNanos(utcInstant: String): Long =
+    java.time.Instant.parse(utcInstant).getEpochSecond * 1000000000L
 
   /** Register every table as a temp view so the same surface is reachable
     * from `spark.sql`. Idempotent. */

@@ -92,8 +92,12 @@ object EtlParity {
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // strict-> watermark on the RAW nanos column: the converted `ts`
+      // cannot push through timestamp_micros(), ts_ns reaches the parquet
+      // row-group statistics (asserted by PlanAuditSpec)
       t(s, dir, "events")
-        .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+        .filter(col("ts_ns") >
+          graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00Z"))
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },
