@@ -17,7 +17,8 @@ object SparkEntry {
       _root_.graft.queries.EtlParity.defs ++
       _root_.graft.queries.Analytics.defs ++
       _root_.graft.queries.TextDedup.defs ++
-      _root_.graft.queries.SimilarityQueries.defs
+      _root_.graft.queries.SimilarityQueries.defs ++
+      _root_.graft.queries.Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+import graft.operators.Joins
+
+/** Advanced relational surface: CUBE, statistical aggregates, exact
+  * percentiles, AS-OF and range-bounded joins, JSON schema parsing. */
+object Advanced {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables(s, dir, n)
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- CUBE over two dimensions.
+    GQuery(
+      "q21_cube_orders",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- Statistical aggregates (stddev / correlation / covariance).
+    GQuery(
+      "q22_lineitem_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 3) AS qty_stddev,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 3).as("qty_stddev"),
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            + lit(0.0)).as("qty_price_corr"),
+          // + 0.0 normalizes IEEE signed zero: a covariance rounding to
+          // zero renders as -0 on one engine and 0 on the other otherwise
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
+            .as("disc_tax_covar"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Exact interpolated percentiles (quantile_cont parity).
+    GQuery(
+      "q23_price_percentiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+          round(percentile(col("o_totalprice"), lit(0.95)), 2).as("p95"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- AS-OF join: each error event matched to the user's most recent
+    // click at or before it (union+window implementation; DuckDB has a
+    // native ASOF JOIN as the oracle).
+    GQuery(
+      "q24_asof_error_click",
+      """SELECT e.event_id, e.user_id,
+        |  round(c.value, 3) AS asof_value,
+        |  CAST(c.ts AS TIMESTAMP) AS asof_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(errors, clicks, "user_id", "ts", "ts",
+          Seq("value", "ts"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 3).as("asof_value"),
+          col("asof_ts"))
+        .orderBy("event_id")
+    },
+
+    // ---- Range-bounded join: errors in the 10 minutes before each
+    // purchase, per user.
+    GQuery(
+      "q25_errors_before_purchase",
+      """SELECT p.event_id, p.user_id, count(e.ts) AS n_in_range
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |           WHERE event_type = 'error') e
+        |  ON e.user_id = p.user_id
+        | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      Joins.rangeCount(
+          ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "error").select("user_id", "ts"),
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rangeSeconds = 600, leftId = "event_id")
+        .select("event_id", "user_id", "n_in_range")
+        .orderBy("event_id")
+    },
+
+    // ---- Schema'd JSON parsing (from_json to a map, keys exploded).
+    GQuery(
+      "evt_json_keys",
+      """SELECT DISTINCT CAST(k AS VARCHAR) AS json_key
+        |FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+        |ORDER BY json_key""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(explode(map_keys(
+          from_json(col("props"), lit("map<string,int>")))).as("json_key"))
+        .distinct()
+        .orderBy("json_key")
+    }
+  )
+}

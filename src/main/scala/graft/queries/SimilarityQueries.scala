@@ -63,15 +63,15 @@ object SimilarityQueries {
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_component
+        |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_component
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       t(s, dir, "embeddings").select(
           col("vec_id"), col("label"),
           size(col("embedding")).cast("long").as("dim"),
           round(Similarity.l2norm(col("embedding")), 4).as("l2_norm"),
-          round(element_at(col("embedding"), 1).cast("double"), 4)
-            .as("first_component"))
+          (round(element_at(col("embedding"), 1).cast("double"), 4)
+            + lit(0.0)).as("first_component"))
         .orderBy("vec_id")
     },
 
@@ -79,7 +79,7 @@ object SimilarityQueries {
     GQuery(
       "emb_label_stats",
       """SELECT label, count(*) AS n_vecs,
-        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0.0 AS avg_first,
         |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
         |FROM embeddings
@@ -88,8 +88,8 @@ object SimilarityQueries {
       t(s, dir, "embeddings")
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg(element_at(col("embedding"), 1).cast("double")), 4)
-            .as("avg_first"),
+          (round(avg(element_at(col("embedding"), 1).cast("double")), 4)
+            + lit(0.0)).as("avg_first"),
           round(avg(Similarity.l2norm(col("embedding"))), 4).as("avg_norm"))
         .orderBy("label")
     },
