@@ -55,4 +55,12 @@ final class ParquetStore(spark: SparkSession, root: String) extends TableStore {
 
   override def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
+
+  /** Hive-style partitioned layout (`<name>.parquet/<col>=<v>/...`): the
+    * 100 TB fact-table layout — scans filtered on the partition columns
+    * prune whole directories (PartitionFilters, asserted in ScaleSpec). */
+  def writePartitioned(name: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(name))
 }

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions installer: makes the engine's native functions
+  * available in ANY session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster-wide
+  * config, spark-submit, or SparkSession.builder.withExtensions) — no
+  * per-session register() call needed.
+  *
+  * This is the (c)-path registration hook of the custom-operator ladder;
+  * the expressions themselves stay plain Catalyst expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.cosineName),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getName,
+        null,
+        GraftFunctions.cosineName,
+        "_FUNC_(a, b) - cosine similarity of two array<double> vectors " +
+          "in one fused codegen loop",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -90,6 +90,16 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates on a content key —
+    * the unbounded version of Dedup.exactGroups. State is bounded by the
+    * watermark (a duplicate arriving later than `watermarkDelay` past the
+    * original is emitted again, the standard at-scale tradeoff). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Micro-batch file ingestion: the streaming analogue of the reference's
     * timer-driven extract — new parquet files under `dir` are picked up
     * `maxFilesPerTrigger` at a time with exactly-once tracking in the

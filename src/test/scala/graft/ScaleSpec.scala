@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.ParquetStore
+import graft.operators.Skew
+
+/** Scale-mechanics checks: partition pruning on hive layouts, bucketed
+  * co-located joins (no shuffle), salted skew joins (result parity). */
+class ScaleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitioned fact layout prunes directories via PartitionFilters") {
+    val store = new ParquetStore(spark, tmpDir("part"))
+    val events = graft.core.Tables(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    store.writePartitioned("events_by_type", events, Seq("event_type"))
+
+    val df = store.read("events_by_type").filter(col("event_type") === "click")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type")
+      || plan.contains("PartitionFilters: [(event_type"), plan.take(1500))
+    // pruned scan must agree with the unpartitioned count
+    assert(df.count() ===
+      graft.core.Tables(spark, dir, "events")
+        .filter(col("event_type") === "click").count())
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assume(warehouse != null)
+    val orders = graft.core.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.core.Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+
+    val joined = spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join should not shuffle:\n" + plan.take(2000))
+  }
+
+  test("salted join equals the plain join (skew scatter correctness)") {
+    val orders = graft.core.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.core.Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"), "inner")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(cells(salted.select("o_orderkey", "c_name")) ===
+      cells(plain.select("o_orderkey", "c_name")))
+    // the join key must carry the salt so the hot key spreads across tasks
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), plan.take(1500))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The extensions installer makes graft_cosine available in a session that
+  * never called GraftFunctions.register — the deployment path for a
+  * cluster-wide config. Uses its own session (newSession shares the
+  * function registry, so a genuinely fresh SparkSession is built). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("graft_cosine resolves via spark.sql.extensions") {
+    // getOrCreate() would hand back the shared test session (whose registry
+    // already has the function) and silently skip the extensions — clear
+    // the active/default session so a genuinely new SparkSession is built
+    // with the installer, then restore.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT graft_cosine(array(3.0d, 0.0d), array(3.0d, 0.0d)) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+      val desc = spark.sql("DESCRIBE FUNCTION graft_cosine").collect()
+        .map(_.getString(0)).mkString("\n")
+      assert(desc.contains("graft_cosine"))
+    } finally {
+      // do not stop(): the underlying SparkContext is shared; restore the
+      // suite-wide default session
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

@@ -76,6 +76,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates emits each key once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // same event_id+ts delivered twice in-batch and again across batches
+      mem.addData(ev(1, "2024-01-01 00:00:00", 1), ev(1, "2024-01-01 00:00:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:01:00", 2))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file stream picks up newly landed parquet micro-batches") {
     import spark.implicits._
     val dir = tmpDir("stream-src")
