@@ -130,6 +130,30 @@ object Advanced {
         .orderBy("event_id")
     },
 
+    // ---- GROUPING SETS + grouping_id through the SQL surface (views
+    // registered by Tables.registerViews; same engine, SQL face).
+    GQuery(
+      "q26_grouping_sets",
+      """SELECT r_name, c_mktsegment,
+        |  CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
+        |  count(*) AS n_customers
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY gid, r_name ASC NULLS FIRST,
+        |  c_mktsegment ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT r_name, c_mktsegment,
+          |  CAST(grouping_id(r_name, c_mktsegment) AS BIGINT) AS gid,
+          |  count(*) AS n_customers
+          |FROM customer, nation, region
+          |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+          |ORDER BY gid, r_name ASC NULLS FIRST,
+          |  c_mktsegment ASC NULLS FIRST""".stripMargin)
+    },
+
     // ---- Schema'd JSON parsing (from_json to a map, keys exploded).
     GQuery(
       "evt_json_keys",

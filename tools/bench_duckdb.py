@@ -1,0 +1,25 @@
+#!/usr/bin/env python3
+"""Time each oracle SQL in DuckDB at a given sf (baseline proxy for bench
+comparisons). Usage: python3 tools/bench_duckdb.py <sfDir> <oracleJson>"""
+import sys, json, time, os
+import duckdb
+
+sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute(f"SET threads TO 32")
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+oracle = json.load(open(oracle_path))
+times = {}
+for name, sql in sorted(oracle.items()):
+    t0 = time.time()
+    try:
+        con.execute(sql).fetchall()
+        times[name] = round(time.time() - t0, 3)
+    except Exception as e:
+        times[name] = None
+print(json.dumps({"total": round(sum(v for v in times.values() if v), 2),
+                  "queries": times}))
