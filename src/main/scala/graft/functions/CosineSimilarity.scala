@@ -90,13 +90,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   val cosineName = "graft_cosine"
+  val minhashName = "graft_minhash"
 
   /** Idempotent session registration of the custom expressions, making
     * them reachable from both the Column API (call_function) and SQL. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashName, exprs => {
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"$minhashName numHashes must be a literal, got $other")
+        }
+        MinHashAgg(exprs(0), n)
+      }, "built-in")
+  }
 
   /** Column-API handle (requires register(spark) on the active session). */
   def cosine(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  /** MinHash signature aggregate over a token column → array<long>. */
+  def minhash(token: Column, numHashes: Int): Column =
+    call_function(minhashName, token, org.apache.spark.sql.functions.lit(numHashes))
 }

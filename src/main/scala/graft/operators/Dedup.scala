@@ -72,6 +72,26 @@ object Dedup {
     sets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Same signatures as one native sketch aggregate
+    * ([[graft.functions.MinHashAgg]]): a single long[] buffer updated in
+    * one pass instead of numHashes aggregation slots. Returns
+    * (doc_id, sig: array<long>); values are identical to
+    * [[minhashSignatures]] (spec-asserted). */
+  def minhashSignaturesAgg(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.groupBy("doc_id")
+      .agg(graft.functions.GraftFunctions.minhash(col("w"), numHashes).as("sig"))
+
+  /** LSH banding over an array<long> signature column. */
+  def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+      struct(lit(b).as("band_idx"), xxhash64(slice :+ lit(b): _*).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
   /** LSH banding over minhash signatures: split the signature into
     * `bands` groups of rows, hash each band, and emit (doc_id, band_idx,
     * band_hash) — docs sharing any (band_idx, band_hash) are candidates.
@@ -111,7 +131,8 @@ object Dedup {
     // cache the band frame: it feeds BOTH sides of the candidate self-join,
     // and without materialization the whole tokenize→minhash→band pipeline
     // executes twice (exchange reuse does not survive the self-join aliases)
-    val bandsDf = lshBands(minhashSignatures(sets, numHashes), numHashes, bands)
+    val bandsDf = lshBandsFromSig(
+        minhashSignaturesAgg(sets, numHashes), numHashes, bands)
       .cache()
     val cands = lshCandidates(bandsDf)
     val tokArr = df.select(col(idCol).as("doc_id"),

@@ -298,7 +298,7 @@ object Relational {
     GQuery(
       "q15_rollup_customer_geo",
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  round(sum(c_acctbal), 2) + 0.0 AS total_bal
         |FROM customer, nation, region
         |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -311,7 +311,8 @@ object Relational {
             col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_customers"),
-            round(sum(col("c_acctbal")), 2).as("total_bal"))
+            // + 0.0 normalizes IEEE signed zero after rounding
+            (round(sum(col("c_acctbal")), 2) + lit(0.0)).as("total_bal"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
