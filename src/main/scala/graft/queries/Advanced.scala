@@ -154,6 +154,63 @@ object Advanced {
           |  c_mktsegment ASC NULLS FIRST""".stripMargin)
     },
 
+    // ---- Window-function breadth: lead, first_value, ntile, and a
+    // RANGE frame (value-based, vs q14's ROWS frame).
+    GQuery(
+      "q27_window_breadth",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lead(o_orderkey, 1) OVER w AS BIGINT) AS next_orderkey,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2)
+        |    AS near_price_mass
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).cast("long").as("next_orderkey"),
+          round(first_value(col("o_totalprice")).over(w), 2).as("first_price"),
+          ntile(4).over(w).cast("long").as("spend_quartile"),
+          round(sum(col("o_totalprice")).over(wRange), 2).as("near_price_mass"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- Scalar math-function surface.
+    GQuery(
+      "q28_math_surface",
+      """SELECT o_orderkey,
+        |  round(ln(o_totalprice), 4) AS ln_price,
+        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |  round(pow(o_totalprice, 0.5) - sqrt(o_totalprice), 4) + 0.0 AS pow_check,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+        |  CAST(abs(o_orderkey % 7 - 3) AS BIGINT) AS cyclic,
+        |  round(greatest(o_totalprice - 100000, 0.0), 2) AS excess
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          round(log(col("o_totalprice")), 4).as("ln_price"),
+          round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+          (round(pow(col("o_totalprice"), 0.5) - sqrt(col("o_totalprice")), 4)
+            + lit(0.0)).as("pow_check"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_bucket"),
+          abs(col("o_orderkey") % 7 - 3).cast("long").as("cyclic"),
+          round(greatest(col("o_totalprice") - 100000, lit(0.0)), 2).as("excess"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Schema'd JSON parsing (from_json to a map, keys exploded).
     GQuery(
       "evt_json_keys",

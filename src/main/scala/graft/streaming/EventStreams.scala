@@ -90,6 +90,28 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on both sides is bounded and purged as the watermark advances —
+    * the canonical streaming enrichment join. */
+  def purchasesWithRecentClicks(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int, watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("user_id") === col("click_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+        && col("click_ts") <= col("purchase_ts"),
+      "inner")
+      .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_value")
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates on a content key —
     * the unbounded version of Dedup.exactGroups. State is bounded by the
     * watermark (a duplicate arriving later than `watermarkDelay` past the

@@ -94,6 +94,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase enriched by recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.purchasesWithRecentClicks(
+        purchases.toDF(), clicks.toDF(), windowMinutes = 30, "10 minutes")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append)
+      .start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 00:00:00", 1, "click", 2.5),
+        ev(11, "2024-01-01 02:00:00", 1, "click", 9.9)) // too old for the purchase below? no: later
+      purchases.addData(ev(20, "2024-01-01 00:20:00", 1, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      // only the click 20 min before the purchase joins; the 02:00 click is
+      // after the purchase, and nothing else is in-window
+      assert(rows.toSeq === Seq((20L, "2024-01-01 00:00:00.0", 2.5)))
+    } finally q.stop()
+  }
+
   test("file stream picks up newly landed parquet micro-batches") {
     import spark.implicits._
     val dir = tmpDir("stream-src")
