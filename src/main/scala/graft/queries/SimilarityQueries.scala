@@ -94,6 +94,29 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
+    // ---- Embedding-cosine near-dup: all pairs above a cosine threshold
+    // (the semantic-dedup primitive; scoped input — the scale path is the
+    // LSH bucketing above, which turns candidate generation into a
+    // bucket equi-join).
+    GQuery(
+      "dedup_embedding_cosine",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val a = v.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = v.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("cos", Similarity.cosine(col("e1"), col("e2")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cosine"))
+        .orderBy("id1", "id2")
+    },
+
     // ---- Multimodal blob metadata (no decode needed; oracle-checked).
     GQuery(
       "mm_blob_meta",
