@@ -126,8 +126,13 @@ object Dedup {
     * an explode-style token join would shuffle |cands|·|tokens| rows;
     * the array form keeps verification shuffle-free per pair. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sets = tokenSet(df, idCol, textCol)
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleN: Int = 1): DataFrame = {
+    // shingleN = 1: word-set MinHash; >= 2: the shingle→minhash→band→
+    // bucket-join pipeline over n-word shingles (stricter near-dup notion)
+    val sets =
+      if (shingleN <= 1) tokenSet(df, idCol, textCol)
+      else shingleSet(df, idCol, textCol, shingleN)
     // cache the band frame: it feeds BOTH sides of the candidate self-join,
     // and without materialization the whole tokenize→minhash→band pipeline
     // executes twice (exchange reuse does not survive the self-join aliases)
@@ -135,8 +140,7 @@ object Dedup {
         minhashSignaturesAgg(sets, numHashes), numHashes, bands)
       .cache()
     val cands = lshCandidates(bandsDf)
-    val tokArr = df.select(col(idCol).as("doc_id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
     val a1 = tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1"))
     val a2 = tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2"))
     cands
@@ -148,6 +152,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Keep-list resolution: given near-dup pairs (id1 < id2), drop every
+    * doc that pairs with a smaller-id doc — one-iteration star clustering
+    * with the minimum id as representative. Returns the kept subset of
+    * `df`. (A full transitive closure is iterative connected components;
+    * one greedy round is the standard first pass at pipeline scale.) */
+  def keepList(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** 64-bit SimHash over the doc's token multiset: per bit, sum +1/-1
     * weighted by token occurrences; bit set iff the sum is positive.

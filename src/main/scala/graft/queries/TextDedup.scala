@@ -158,6 +158,41 @@ object TextDedup {
         .orderBy("id1", "id2")
     },
 
+    // ---- Shingle-mode MinHash: the shingle→minhash→band→bucket-join
+    // pipeline over 2-word shingles (stricter near-dup notion).
+    GQuery.noOracle("dedup_minhash_shingle") { (s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.25, shingleN = 2)
+        .orderBy("id1", "id2")
+    },
+
+    // ---- Keep-list resolution: which docs survive near-dup removal
+    // (greedy min-id representative over word-set Jaccard >= 0.8 pairs).
+    GQuery(
+      "dedup_keep_list",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT id2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2
+        |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (SELECT id2 FROM dropped)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(Dedup.tokenSet(docs, "doc_id", "text"), 0.8)
+      Dedup.keepList(docs, "doc_id", pairs)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash signatures + pigeonhole near-dup candidates.
     GQuery.noOracle("dedup_simhash") { (s, dir) =>
       Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")

@@ -28,6 +28,39 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("shingle-mode minhash: pairs subset of exact bigram-jaccard pairs") {
+    val scoped = docs.filter(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(
+        Dedup.shingleSet(scoped, "doc_id", "text", 2), 0.25)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(scoped, "doc_id", "text", 64, 16, 0.25,
+        shingleN = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "shingle LSH found no pairs at 0.25 on this corpus")
+  }
+
+  test("keepList drops exactly the min-id-dominated docs") {
+    val scoped = docs.filter(col("doc_id") < 100)
+    val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
+    val dropped = pairs.select("id2").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Dedup.keepList(scoped, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.union(dropped).size === scoped.count())
+  }
+
+  test("multimodal resize + feature stubs: shape and determinism") {
+    val blobs = Multimodal.attachBlob(docs.limit(20))
+    val resized = Multimodal.resizeStub(spark,
+      Multimodal.decodeStub(spark, blobs), maxSide = 128).collect()
+    assert(resized.forall(m => m.width <= 128 && m.height <= 128
+      && m.width >= 1 && m.height >= 1))
+    val feats = Multimodal.featureStub(spark, blobs, dim = 16).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(_.getSeq[Float](1).size === 16))
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dup join finds them") {
     val dupes = docs.limit(20)
       .union(docs.limit(20).withColumn("doc_id", col("doc_id") + 10000))
