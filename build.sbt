@@ -27,6 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with multi-million-row shuffles needs headroom or GC noise
-  // dominates bench timings (the box has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dominates bench timings (the box has 128 GiB). Fixed-size, pre-touched
+  // heap: growing the heap mid-query triggers a kernel page-fault/
+  // compaction storm on this VM (observed: 6000s of system CPU in one
+  // shuffle-heavy first run) — fault the pages in at JVM start instead.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -20,11 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest sf so measured times reflect the
-    // engine, not first-query classloading.
+    // Warm every query once at the smallest sf: plan shapes are identical
+    // across sfs, so this compiles all generated code (Janino cache) and
+    // JIT-warms the hot loops — measured times then reflect data-dependent
+    // work, not first-run compilation (observed: 60s+ of first-run
+    // overhead on the shuffle-heavy near-dup query without this).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.take(3).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    SparkEntry.allQueries.foreach { q =>
+      try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.allQueries.map { q =>
