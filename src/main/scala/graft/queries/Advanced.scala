@@ -211,6 +211,93 @@ object Advanced {
         .orderBy("o_orderkey")
     },
 
+    // ---- Regex extraction + casting.
+    GQuery(
+      "q29_regex_extract",
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+        |FROM part
+        |WHERE regexp_matches(p_brand, '#\d+')
+        |ORDER BY p_partkey
+        |LIMIT 500""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_brand").rlike("#\\d+"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long")
+            .as("brand_num"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey")
+        .limit(500)
+    },
+
+    // ---- Higher-order array functions: transform / filter / aggregate
+    // over the token array, scalar outputs.
+    GQuery(
+      "q30_higher_order",
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(list_max(list_transform(t, w -> length(w))) AS BIGINT)
+        |    AS max_word_len,
+        |  CAST(len(list_filter(t, w -> length(w) > 4)) AS BIGINT)
+        |    AS n_long_words
+        |FROM toks
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+            (acc, v) => acc + v).as("total_chars"),
+          array_max(transform(toks, w => length(w).cast("long")))
+            .as("max_word_len"),
+          size(filter(toks, w => length(w) > 4)).cast("long")
+            .as("n_long_words"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Positional explode (lateral view shape).
+    GQuery(
+      "q31_token_positions",
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+        |FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t))) AS i
+        |      FROM toks) x
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- Ordered collect: sorted distinct aggregation to a delimited
+    // string (arrays as output values render engine-specifically, so the
+    // deterministic string form is the cross-engine contract).
+    GQuery(
+      "q32_collect_sources",
+      """SELECT lang,
+        |  string_agg(DISTINCT source, '|' ORDER BY source) AS sources,
+        |  count(*) AS n_docs
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          concat_ws("|", sort_array(collect_set(col("source")))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     // ---- Schema'd JSON parsing (from_json to a map, keys exploded).
     GQuery(
       "evt_json_keys",
