@@ -92,9 +92,17 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val minhashName = "graft_minhash"
 
-  /** Idempotent session registration of the custom expressions, making
-    * them reachable from both the Column API (call_function) and SQL. */
+  /** Idempotent session registration of the custom expressions, planner
+    * strategy, and optimizer rule, making them reachable from both the
+    * Column API (call_function) and SQL. `spark.experimental` is the
+    * runtime path; GraftExtensions covers config-based deployment. */
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsofJoin
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

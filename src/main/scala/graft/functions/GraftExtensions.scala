@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.cosineName),
       new ExpressionInfo(

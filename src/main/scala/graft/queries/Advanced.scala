@@ -106,6 +106,36 @@ object Advanced {
         .orderBy("event_id")
     },
 
+    // ---- The same AS-OF semantics through the NATIVE operator
+    // (custom LogicalPlan → AsofJoinExec merge pass; graded against
+    // DuckDB's built-in ASOF JOIN like q24).
+    GQuery(
+      "q24b_asof_native",
+      """SELECT e.event_id, e.user_id,
+        |  round(c.value, 3) AS asof_value,
+        |  CAST(c.ts AS TIMESTAMP) AS asof_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("value").as("r_value"))
+      graft.plans.AsofJoinApi.asofJoinNative(s, errors, clicks,
+          leftKey = "user_id", rightKey = "r_user",
+          leftTime = "ts", rightTime = "r_ts")
+        .select(col("event_id"), col("user_id"),
+          round(col("r_value"), 3).as("asof_value"),
+          col("r_ts").as("asof_ts"))
+        .orderBy("event_id")
+    },
+
     // ---- Range-bounded join: errors in the 10 minutes before each
     // purchase, per user.
     GQuery(

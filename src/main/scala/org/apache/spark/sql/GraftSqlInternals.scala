@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into private[sql] surface: constructing a DataFrame from a
+  * custom LogicalPlan has no public API, so every library that adds its
+  * own logical operators carries this one-liner inside the spark package.
+  * Kept to the absolute minimum (two accessors, no behavior). */
+object GraftSqlInternals {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+}
