@@ -111,6 +111,53 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rn"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid (the inverted-file cell); queries probe the `nProbe` nearest
+    * cells and rank candidates by exact cosine. Centroids here are a
+    * deterministic sample of the corpus itself (ids hashed, first
+    * `numCentroids`) — on a real pipeline a k-means job refines them, but
+    * the index/query dataflow (assign → cell equi-join → re-rank) is
+    * identical and that is the part that must scale: candidate generation
+    * is an equi-join on cell_id, never a cross join.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      numCentroids: Int, k: Int, nProbe: Int): DataFrame = {
+    // deterministic centroid sample: lowest xxhash64 of vec_id
+    val centroids = candidates
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+      .withColumn("h", xxhash64(col("centroid_id")))
+      .orderBy("h").limit(numCentroids).drop("h")
+
+    // cell assignment = argmax cosine over centroids (broadcast; one pass)
+    def assign(df: DataFrame, idCol: String, embCol: String, outCell: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosine(col(embCol), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .select(col(idCol), col(embCol), col("centroid_id").as(outCell))
+    }
+
+    val cells = assign(
+      candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cemb")),
+      "cand_id", "cemb", "cell", keep = 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", "cell", keep = nProbe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("cemb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
   /** Bucket occupancy histogram — the partitioning diagnostic for the ANN
     * index (skewed buckets → add planes or salt). */
   def bucketHistogram(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =

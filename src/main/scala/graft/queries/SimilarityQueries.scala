@@ -50,6 +50,15 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ---- IVF-style ANN (coarse quantizer + probed cells; recall vs brute
+    // force asserted in OperatorsSpec).
+    GQuery.noOracle("sim_ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          numCentroids = 16, k = 5, nProbe = 4)
+        .orderBy("query_id", "rn")
+    },
+
     // ---- ANN index diagnostic: bucket occupancy histogram.
     GQuery.noOracle("sim_bucket_stats") { (s, dir) =>
       Similarity.bucketHistogram(t(s, dir, "embeddings"), 6, dim)

@@ -91,6 +91,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN: recall vs brute force at 4/16 probed cells") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, numCentroids = 16, k = 5, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing 4/16 cells scans ~25% of the corpus; random vectors again
+    // the worst case for any partition-based index
+    assert(recall >= 0.3, s"IVF recall@5 $recall unexpectedly low")
+    assert(ivf.nonEmpty)
+  }
+
   test("ANN finds planted near-duplicates (the dedup use case)") {
     // plant a cosine≈0.999 twin of each query vector
     val twins = emb.filter(col("vec_id") < 10)
