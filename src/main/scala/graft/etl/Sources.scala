@@ -45,15 +45,18 @@ final class ParquetSource(spark: SparkSession, dir: String) extends OltpSource {
   * layered on per-table for parallel scans of large sources; the dimension
   *-sized totesys tables read fine on one partition each.
   * Reference parity: table discovery via information_schema
-  * (src/extract.py:81-84); SELECT * scans (src/extract.py:98). */
-final class JdbcSource(spark: SparkSession, url: String, props: Properties)
+  * (src/extract.py:81-84); SELECT * scans (src/extract.py:98).
+  *
+  * @param catalogQuery dialect-specific table-listing subquery (one string
+  *                     column); defaults to the Postgres information_schema
+  *                     form the reference uses
+  */
+final class JdbcSource(spark: SparkSession, url: String, props: Properties,
+    catalogQuery: String = JdbcSource.postgresCatalogQuery)
     extends OltpSource {
 
   override def listTables(): Seq[String] =
-    spark.read.jdbc(url,
-        """(SELECT table_name FROM information_schema.tables
-          | WHERE table_schema = 'public' AND table_type = 'BASE TABLE') t"""
-          .stripMargin, props)
+    spark.read.jdbc(url, catalogQuery, props)
       .collect().map(_.getString(0)).toSeq.sorted
 
   override def full(table: String): DataFrame =
@@ -61,4 +64,16 @@ final class JdbcSource(spark: SparkSession, url: String, props: Properties)
 
   override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
     OltpSource.deltaFilter(full(table), created, updated)
+}
+
+object JdbcSource {
+  /** The reference's discovery query (src/extract.py:81-84). */
+  val postgresCatalogQuery: String =
+    """(SELECT table_name FROM information_schema.tables
+      | WHERE table_schema = 'public' AND table_type = 'BASE TABLE') t"""
+      .stripMargin
+
+  /** Derby (embedded) equivalent, used by the JDBC integration spec. */
+  val derbyCatalogQuery: String =
+    "(SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T') t"
 }

@@ -1,0 +1,77 @@
+package graft.etl
+
+import java.sql.{DriverManager, Timestamp}
+import java.util.Properties
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Real-JDBC integration over embedded Derby (ships with Spark): catalog
+  * discovery, full scan, strict-`>` incremental pushdown, and the batched
+  * append sink — the production path of S1–S3/S6 exercised against an
+  * actual database instead of the parquet test double. */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  private lazy val setup: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE currency (
+        |  currency_id INT, currency_code VARCHAR(3),
+        |  created_at TIMESTAMP, last_updated TIMESTAMP)""".stripMargin)
+    st.executeUpdate(
+      "INSERT INTO currency VALUES (1, 'AAA', '2023-01-01 10:00:00', '2023-01-01 10:00:00')")
+    st.executeUpdate(
+      "INSERT INTO currency VALUES (2, 'BBB', '2023-01-01 10:00:00', '2023-01-01 10:00:00')")
+    st.executeUpdate(
+      "INSERT INTO currency VALUES (3, 'GBP', '2023-02-02 11:30:00', '2023-02-02 11:30:00')")
+    st.executeUpdate(
+      """CREATE TABLE dim_currency (
+        |  currency_id INT, currency_code VARCHAR(3), currency_name VARCHAR(64))"""
+        .stripMargin)
+    st.close(); conn.close()
+  }
+
+  private def source = new JdbcSource(spark, url, props,
+    catalogQuery = JdbcSource.derbyCatalogQuery)
+
+  test("catalog discovery via the dialect catalog query") {
+    setup
+    assert(source.listTables() === Seq("CURRENCY", "DIM_CURRENCY"))
+  }
+
+  test("full scan reads every row with JDBC types") {
+    setup
+    val df = source.full("currency")
+    assert(df.count() === 3)
+    assert(df.schema("currency_id".toUpperCase).dataType.typeName === "integer")
+  }
+
+  test("incremental scan: strict-> watermark predicate pushed to the DB") {
+    setup
+    val wm = Timestamp.valueOf("2023-01-01 10:00:00")
+    val delta = source.incremental("currency", wm, wm)
+    assert(delta.collect().map(_.getInt(0)).toSeq === Seq(3))
+    // the timestamp predicate must reach the JDBC relation as a pushed filter
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(CREATED_AT"),
+      plan.take(1500))
+  }
+
+  test("batched append sink accumulates (reference to_sql parity)") {
+    setup
+    val sink = new JdbcWarehouseSink(url, props, batchSize = 2)
+    val dim = DimBuilders.dimCurrency(Fixtures.currency(spark))
+    sink.append("dim_currency", dim)
+    sink.append("dim_currency", dim) // re-load duplicates, append-only
+    val back = spark.read.jdbc(url, "dim_currency", props)
+    assert(back.count() === 6)
+    assert(back.filter(col("CURRENCY_NAME") === "0").count() === 6)
+  }
+}
