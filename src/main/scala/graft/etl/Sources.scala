@@ -59,8 +59,12 @@ final class JdbcSource(spark: SparkSession, url: String, props: Properties,
     spark.read.jdbc(url, catalogQuery, props)
       .collect().map(_.getString(0)).toSeq.sorted
 
+  /** Identifiers are double-quoted, so table names must match the
+    * catalog's exact case (what listTables returns) — this is what makes
+    * reserved-word table names like the reference's `transaction` legal
+    * across dialects. */
   override def full(table: String): DataFrame =
-    spark.read.jdbc(url, table, props)
+    spark.read.jdbc(url, "\"" + table + "\"", props)
 
   override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
     OltpSource.deltaFilter(full(table), created, updated)

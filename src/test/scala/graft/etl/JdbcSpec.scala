@@ -48,7 +48,7 @@ class JdbcSpec extends SparkSpec {
 
   test("full scan reads every row with JDBC types") {
     setup
-    val df = source.full("currency")
+    val df = source.full("CURRENCY")
     assert(df.count() === 3)
     assert(df.schema("currency_id".toUpperCase).dataType.typeName === "integer")
   }
@@ -56,7 +56,7 @@ class JdbcSpec extends SparkSpec {
   test("incremental scan: strict-> watermark predicate pushed to the DB") {
     setup
     val wm = Timestamp.valueOf("2023-01-01 10:00:00")
-    val delta = source.incremental("currency", wm, wm)
+    val delta = source.incremental("CURRENCY", wm, wm)
     assert(delta.collect().map(_.getInt(0)).toSeq === Seq(3))
     // the timestamp predicate must reach the JDBC relation as a pushed filter
     val plan = delta.queryExecution.executedPlan.toString
