@@ -54,9 +54,11 @@ object Dedup {
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
+    // no broadcast hint: the per-doc size table is corpus-sized at scale;
+    // AQE broadcasts it automatically when it actually fits
     inter
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id1", "n" -> "n1"))), Seq("id1"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "id2", "n" -> "n2"))), Seq("id2"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id1", "n" -> "n1")), Seq("id1"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id2", "n" -> "n2")), Seq("id2"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -120,8 +122,10 @@ object Dedup {
     * pairs → exact Jaccard verification of candidates only.
     *
     * Verification attaches each doc's sorted distinct-token ARRAY to the
-    * pair (hash join on the doc id — broadcast when the per-doc table is
-    * dim-sized) and computes `array_intersect` inside codegen. On a
+    * pair (shuffled hash join on the doc id — the per-doc array table IS
+    * the corpus at pipeline scale, so it must never be force-broadcast;
+    * AQE promotes the join to broadcast when the table genuinely fits)
+    * and computes `array_intersect` inside codegen. On a
     * high-self-similarity corpus the candidate set is near-quadratic, so
     * an explode-style token join would shuffle |cands|·|tokens| rows;
     * the array form keeps verification shuffle-free per pair. */
@@ -144,8 +148,8 @@ object Dedup {
     val a1 = tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1"))
     val a2 = tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2"))
     cands
-      .join(broadcast(a1), Seq("id1"))
-      .join(broadcast(a2), Seq("id2"))
+      .join(a1, Seq("id1"))
+      .join(a2, Seq("id2"))
       .withColumn("c", size(array_intersect(col("toks1"), col("toks2"))))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))

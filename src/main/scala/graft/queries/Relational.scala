@@ -97,8 +97,10 @@ object Relational {
         .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      // customer is fact-scale at TPC-H sf100+ — no broadcast hint; the
+      // segment filter makes it AQE-broadcastable when it actually fits
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -123,9 +125,12 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
+      // geo contains all of customer (15 M rows at sf100) — broadcast only
+      // the true dims above; this join shuffles on custkey and AQE may
+      // still promote it to broadcast at small sf
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(geo.select("c_custkey", "n_name", "r_name")),
+        .join(geo.select("c_custkey", "n_name", "r_name"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
@@ -146,8 +151,9 @@ object Relational {
         |GROUP BY c_custkey, c_name
         |ORDER BY total_spent DESC, c_custkey
         |LIMIT 25""".stripMargin) { (s, dir) =>
+      // customer is fact-scale — plain equi-join; AQE broadcasts iff it fits
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+        .join(t(s, dir, "customer").select("c_custkey", "c_name"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),

@@ -71,6 +71,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("zip_with"), "fold fallback leaked into hot path")
   }
 
+  /** Run `body` with broadcast joins disabled (simulating "build side
+    * exceeds the threshold" at 100 TB) and return the executed plan. A
+    * forced `broadcast()` hint would still broadcast under these settings,
+    * so any BroadcastHashJoin appearing here is a scale bug. */
+  private def planWithBroadcastDisabled(df: => org.apache.spark.sql.DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = df
+      d.collect()
+      d.queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("minhash verification join is not forced-broadcast (100 TB guard)") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val plan = planWithBroadcastDisabled(
+      graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "per-doc token-array table must not carry a broadcast hint:\n" + plan.take(3000))
+  }
+
+  test("q05 customer join is not forced-broadcast (100 TB guard)") {
+    val q = SparkEntry.allQueries.find(_.name == "q05_top_customers").get
+    val plan = planWithBroadcastDisabled(q.run(spark, dir))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "customer is fact-scale; only AQE may broadcast it:\n" + plan.take(3000))
+  }
+
+  test("q04 broadcasts only true dims; customer side shuffles (100 TB guard)") {
+    val q = SparkEntry.allQueries.find(_.name == "q04_revenue_by_nation").get
+    val plan = planWithBroadcastDisabled(q.run(spark, dir))
+    // nation/region keep their explicit hints (genuine dims)...
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // ...but the customer-side join must fall back to a shuffle join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "customer-side join must not be forced-broadcast:\n" + plan.take(3000))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
