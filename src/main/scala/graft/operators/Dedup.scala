@@ -166,38 +166,60 @@ object Dedup {
     df.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** 64-bit SimHash over the doc's token multiset: per bit, sum +1/-1
-    * weighted by token occurrences; bit set iff the sum is positive.
-    * Computed as 64 conditional aggregates after one explode. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over the doc's token multiset with a pluggable token hash:
+    * per bit, sum +1/-1 weighted by token occurrences; bit set iff the sum
+    * is positive. Computed as `bits` conditional aggregates after one
+    * explode — one shuffle on doc_id, map-side combined. */
+  def simhashSig(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", tokenHash(col("w")))
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"bit_$i")
     }
     val sums = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until bits).map { i =>
       when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 64-bit SimHash keyed by xxhash64 — the fast production variant. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol, w => xxhash64(w), 64)
+
+  /** 60-bit SimHash keyed by the first 15 hex chars of md5 — slower than
+    * xxhash64 but reproducible in any engine with md5 (the DuckDB oracle
+    * verifies this variant bit-for-bit; the bit-vote logic is shared). */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol,
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"), 60)
+
   /** SimHash near-dup candidates by the pigeonhole trick: two signatures
     * within Hamming distance d < chunks must share at least one of the
-    * 16-bit chunks exactly; equi-join on (chunk_idx, chunk_value), then
-    * verify the true Hamming distance with bit_count(xor). */
-  def simhashNearDups(signatures: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = signatures.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
+    * (bits/chunks)-bit chunks exactly; equi-join on (chunk_idx,
+    * chunk_value), then verify the true Hamming distance with
+    * bit_count(xor). More chunks narrow each chunk (4×16 → 8×8), raising
+    * the guaranteed distance while keeping the join selective at larger
+    * corpora (2^width buckets per chunk position). */
+  def simhashNearDups(signatures: DataFrame, maxHamming: Int,
+      chunks: Int = 4, bits: Int = 64): DataFrame = {
+    require(maxHamming < chunks,
+      s"pigeonhole completeness needs maxHamming < chunks ($maxHamming >= $chunks)")
+    require(bits % chunks == 0, s"chunks ($chunks) must divide bits ($bits)")
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val chunked = signatures.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map(i =>
         struct(lit(i).as("chunk_idx"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)
+          shiftright(col("simhash"), i * width).bitwiseAND(mask)
             .as("chunk_value"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_idx"), col("ch.chunk_value"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    chunked.as("a")
+      .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx")
           && col("a.chunk_value") === col("b.chunk_value")
           && col("a.doc_id") < col("b.doc_id"))

@@ -147,6 +147,19 @@ object Analytics {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
+    },
+
+    // ---- Sketch cardinality: HyperLogLog++ distinct-user counts. At
+    // 100 TB the exact variant above shuffles every distinct (type, user)
+    // pair; the sketch is a fixed-size buffer merged map-side — the only
+    // cardinality that scales. Approx values are engine-specific (no
+    // DuckDB oracle); AnalyticsSpec asserts relative error < 5% vs exact.
+    GQuery.noOracle("evt_distinct_users_approx") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }
   )
 }

@@ -201,11 +201,16 @@ object Relational {
     GQuery(
       "q08_customers_without_orders",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // restricted to "no orders since 2000" so the anti-join result is
+      // non-empty at every test sf (every customer has SOME order)
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -255,10 +260,13 @@ object Relational {
       "q12_inactive_customers",
       """SELECT c_custkey FROM customer
         |EXCEPT
-        |SELECT o_custkey AS c_custkey FROM orders
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // "customers who never placed a big order" — the price cut keeps the
+      // EXCEPT non-empty at every test sf (all customers have orders)
       t(s, dir, "customer").select("c_custkey")
-        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
     },
 

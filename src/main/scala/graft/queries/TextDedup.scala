@@ -71,9 +71,43 @@ object TextDedup {
         .orderBy("lang")
     },
 
-    // ---- Heuristic n-gram/stopword language ID (not SQL-expressible;
-    // deterministic, always 500 rows).
-    GQuery.noOracle("txt_langid") { (s, dir) =>
+    // ---- Heuristic n-gram/stopword language ID + BPE-ish token count +
+    // rolling hash. The oracle rebuilds the per-language scores as CASE
+    // argmax (alphabetical-first tie-break = the fold order in
+    // TextOps.langId), the bpe-ish count as alnum-runs + non-alnum chars
+    // (equivalent to the lookaround split, which RE2 can't express), and
+    // the rolling hash via list_reduce (same fold: acc*P+c mod M).
+    GQuery(
+      "txt_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang, text,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','ein'))) AS DOUBLE) AS s_de,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS s_en,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','un'))) AS DOUBLE) AS s_es,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','un'))) AS DOUBLE) AS s_fr,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('的','是','了','在','和'))) AS DOUBLE) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |    WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |    WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |    WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_zh = greatest(s_de,s_en,s_es,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS predicted_lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |    + (length(text) - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+        |    AS BIGINT) AS n_bpeish_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(string_split(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 1000000007) END AS rolling_hash
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextOps.langId(col("text")).as("predicted_lang"),
@@ -126,7 +160,7 @@ object TextDedup {
       "dedup_bigram_jaccard",
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE doc_id < 100),
+        |  FROM documents WHERE doc_id < 500),
         |w AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS w
         |  FROM (SELECT doc_id, t,
@@ -144,7 +178,10 @@ object TextDedup {
         |JOIN sz s2 ON s2.doc_id = id2
         |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      // doc_id < 500 (vs < 100 for the word-set verifier): the bigram
+      // notion is strict enough that a narrower scope has no qualifying
+      // pairs at some sfs — a 0-row gate proves only the empty case
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
       Dedup.jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", 2), 0.2)
         .orderBy("id1", "id2")
     },
@@ -193,10 +230,59 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
-    // ---- SimHash signatures + pigeonhole near-dup candidates.
-    GQuery.noOracle("dedup_simhash") { (s, dir) =>
-      Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+    // ---- SimHash signatures (md5-keyed 60-bit variant so the oracle can
+    // reproduce the token hash; bit-vote logic identical to the xxhash64
+    // production variant, spec-asserted in OperatorsSpec).
+    GQuery("dedup_simhash", simhashOracle(
+      "SELECT doc_id, CAST(%SIG% AS BIGINT) AS simhash FROM sums ORDER BY doc_id")) {
+      (s, dir) =>
+        Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // ---- SimHash pigeonhole near-dup pairs: the oracle computes ALL pairs
+    // within Hamming 3 by brute force (xor + bit_count), so a hash-match
+    // proves the chunk-join candidate generation is COMPLETE (pigeonhole
+    // guarantee d < chunks), not just plausible.
+    GQuery("dedup_simhash_pairs", simhashOracle(
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+      withSigCte = true)) { (s, dir) =>
+      Dedup.simhashNearDups(
+          Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text"),
+          maxHamming = 3, chunks = 4, bits = 60)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id1", "id2")
     }
   )
+
+  /** DuckDB oracle scaffolding for the md5-keyed 60-bit SimHash: tokenize →
+    * 60-bit token hash from md5 hex → per-bit +1/-1 vote sums → signature.
+    * `body` runs over the `sums` CTE (or `sig`, when `withSigCte`);
+    * %SIG% expands to the bit-reassembly sum (non-overlapping powers of
+    * two, so + is bitwise OR). */
+  private def simhashOracle(body: String, withSigCte: Boolean = false): String = {
+    val bitSums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$i")
+      .mkString(",\n    ")
+    val sig = (0 until 60).map(i =>
+      s"(CASE WHEN bit_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val sigCte = if (withSigCte)
+      s",\nsig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums)"
+    else ""
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+       |  FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id)$sigCte
+       |${body.replace("%SIG%", sig)}""".stripMargin
+  }
 }

@@ -73,6 +73,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash md5 variant: same bit-vote semantics, twins at hamming 0") {
+    val dupes = docs.limit(20)
+      .union(docs.limit(20).withColumn("doc_id", col("doc_id") + 10000))
+    val sigs = Dedup.simhashMd5(dupes, "doc_id", "text")
+    val pairs = Dedup.simhashNearDups(sigs, maxHamming = 0, chunks = 4, bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { id =>
+      assert(pairs.contains((id, id + 10000)), s"missing twin pair for $id")
+    }
+    // 60-bit signature: top 4 bits always clear
+    val maxSig = sigs.agg(max(col("simhash"))).head().getLong(0)
+    assert(maxSig < (1L << 60), "md5 variant must produce a 60-bit signature")
+  }
+
+  test("simhash pigeonhole: 8x8 chunking finds the same pairs as 4x16") {
+    // both chunkings are complete for maxHamming=3 (< 4 and < 8 chunks),
+    // so after the hamming filter the pair sets must be identical — the
+    // narrower chunks only change candidate-join selectivity
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+    val p4 = Dedup.simhashNearDups(sigs, maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = Dedup.simhashNearDups(sigs, maxHamming = 3, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p4 === p8)
+    assert(p4.nonEmpty, "corpus has near-dup twins; expected pairs")
+  }
+
+  test("simhash pigeonhole: rejects maxHamming >= chunks (incomplete)") {
+    val sigs = Dedup.simhash64(docs.limit(5), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(sigs, maxHamming = 4, chunks = 4)
+    }
+  }
+
   test("ANN (LSH multi-probe) recall@5 vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, 5)
