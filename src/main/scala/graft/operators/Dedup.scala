@@ -186,6 +186,61 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair set (columns id1, id2):
+    * iterative min-label propagation to fixpoint. Returns (doc_id, comp)
+    * for every doc appearing in a pair, comp = the minimum doc id in its
+    * component — so a duplicate CHAIN a~b, b~c collapses to one
+    * representative even when a and c never paired directly (the greedy
+    * single-round [[keepList]] can't see through the chain).
+    *
+    * Scale shape: each round is one shuffled join + one groupBy over the
+    * edge set — the standard label-propagation dataflow (cf. large-star /
+    * small-star). Rounds needed = O(component diameter); near-dup
+    * components are shallow (dups of dups), so `maxIter` defaults low and
+    * the loop exits early on convergence (one count() action per round —
+    * driver-side control flow, distributed data flow). `localCheckpoint`
+    * truncates the per-round lineage so plans don't grow unboundedly. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate label via neighbors: min over adjacent comps
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
+  /** Keep-list with transitive closure: keep one representative (the
+    * min id) per connected component of the pair graph. Docs in no pair
+    * are kept unchanged. */
+  def keepListComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** 64-bit SimHash keyed by xxhash64 — the fast production variant. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashSig(df, idCol, textCol, w => xxhash64(w), 64)

@@ -111,22 +111,59 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rn"))
   }
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
-    * centroid (the inverted-file cell); queries probe the `nProbe` nearest
-    * cells and rank candidates by exact cosine. Centroids here are a
-    * deterministic sample of the corpus itself (ids hashed, first
-    * `numCentroids`) — on a real pipeline a k-means job refines them, but
-    * the index/query dataflow (assign → cell equi-join → re-rank) is
-    * identical and that is the part that must scale: candidate generation
-    * is an equi-join on cell_id, never a cross join.
-    */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      numCentroids: Int, k: Int, nProbe: Int): DataFrame = {
-    // deterministic centroid sample: lowest xxhash64 of vec_id
-    val centroids = candidates
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+  /** Deterministic k-means(++-ish) centroids for the IVF coarse quantizer:
+    * init from a hash-sample of the corpus (lowest xxhash64 of vec_id —
+    * reproducible, no runtime randomness), then `iters` Lloyd rounds, each
+    * expressed as DataFrame jobs that scale: assignment is a broadcast of
+    * the (tiny) centroid set over one corpus scan; the mean update is
+    * posexplode → per-(cell, dim) partial avg → array reassembly. Spherical
+    * variant: assignment by max cosine; the un-normalized member mean is a
+    * valid centroid because cosine ignores magnitude. Cells that lose all
+    * members keep their previous centroid. */
+  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    var centroids = vectors
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), _.cast("double")).as("ce"))
       .withColumn("h", xxhash64(col("centroid_id")))
       .orderBy("h").limit(numCentroids).drop("h")
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val assigned = vectors.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosine(col("embedding"), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("ce_new"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid (the inverted-file cell); queries probe the `nProbe` nearest
+    * cells and rank candidates by exact cosine. Centroids start as a
+    * deterministic hash-sample of the corpus and are refined with
+    * `lloydIters` k-means rounds ([[kmeansCentroids]]); the index/query
+    * dataflow (assign → cell equi-join → re-rank) is the part that must
+    * scale: candidate generation is an equi-join on cell_id, never a
+    * cross join.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(
+      candidates.select(col("vec_id"), col("embedding")), numCentroids, lloydIters)
 
     // cell assignment = argmax cosine over centroids (broadcast; one pass)
     def assign(df: DataFrame, idCol: String, embCol: String, outCell: String,

@@ -50,12 +50,12 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
-    // ---- IVF-style ANN (coarse quantizer + probed cells; recall vs brute
-    // force asserted in OperatorsSpec).
+    // ---- IVF-style ANN (Lloyd-refined coarse quantizer + probed cells;
+    // recall vs brute force asserted in OperatorsSpec).
     GQuery.noOracle("sim_ann_ivf") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-          numCentroids = 16, k = 5, nProbe = 4)
+          numCentroids = 16, k = 5, nProbe = 4, lloydIters = 2)
         .orderBy("query_id", "rn")
     },
 

@@ -50,6 +50,45 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.union(dropped).size === scoped.count())
   }
 
+  test("connected components: chains and stars collapse to the min id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus star 5-7, 6-7 (merge through the HIGHER id —
+    // the case a greedy single round cannot resolve) plus isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L), (6L, 7L), (10L, 11L))
+      .toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepListComponents keeps one representative per component") {
+    import spark.implicits._
+    val docsDf = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((5L, 7L), (6L, 7L)).toDF("id1", "id2")
+    // greedy keepList sees only id2=7 -> keeps 5 AND 6; transitive
+    // closure merges 5,6 through 7 -> keeps only 5
+    val greedy = Dedup.keepList(docsDf, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    val cc = Dedup.keepListComponents(docsDf, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy.contains(6L) && !cc.contains(6L))
+    assert(cc === greedy - 6L)
+    assert(cc.contains(5L) && !cc.contains(7L) && cc.contains(12L))
+  }
+
+  test("connected components on the real corpus: comp is min of its members") {
+    val scoped = docs.filter(col("doc_id") < 100)
+    val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every component label is itself a member and the minimum
+    comps.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min === label)
+      assert(comps(label) === label)
+    }
+  }
+
   test("multimodal resize + feature stubs: shape and determinism") {
     val blobs = Multimodal.attachBlob(docs.limit(20))
     val resized = Multimodal.resizeStub(spark,
@@ -138,6 +177,30 @@ class OperatorsSpec extends SparkSpec {
     // the worst case for any partition-based index
     assert(recall >= 0.3, s"IVF recall@5 $recall unexpectedly low")
     assert(ivf.nonEmpty)
+
+    // Lloyd refinement: balanced cells concentrate true neighbors in the
+    // probed cells — recall must clear 0.5 at the same nProbe budget
+    val refined = Similarity.ivfTopK(queries, emb,
+        numCentroids = 16, k = 5, nProbe = 4, lloydIters = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= 0.5,
+      s"k-means-refined IVF recall@5 $refinedRecall (raw was $recall)")
+  }
+
+  test("kmeans centroids: deterministic, fixed count, refines assignments") {
+    val c1 = Similarity.kmeansCentroids(emb, 16, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Similarity.kmeansCentroids(emb, 16, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1.size === 16)
+    assert(c1.keySet === c2.keySet)
+    // mean-update determinism up to float-sum ordering: compare rounded
+    c1.foreach { case (id, v) =>
+      v.zip(c2(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"centroid $id differs: $a vs $b") }
+    }
   }
 
   test("ANN finds planted near-duplicates (the dedup use case)") {
