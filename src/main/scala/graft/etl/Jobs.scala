@@ -101,11 +101,16 @@ final class LoadJob(processed: TableStore, warehouse: TableStore) {
 
 /** JDBC warehouse sink variant of the load stage for production parity
   * with the reference's `to_sql(..., chunksize=1000)` (src/load.py:102-110).
-  * Executors write partitions in parallel with batched inserts. */
+  * Executors write partitions in parallel with batched inserts. Frames are
+  * conformed to the declared warehouse StructType first
+  * ([[Schemas.conformToWarehouse]]) — the explicit form of the string→date
+  * cast the reference delegates to the DB (`agreed_*_date`/`payment_date`;
+  * SURVEY.md §1.2), so the warehouse columns land typed even when the DB
+  * table is auto-created by the write. */
 final class JdbcWarehouseSink(url: String, props: java.util.Properties,
     batchSize: Int = 1000) {
   def append(table: String, df: DataFrame): Unit =
-    df.write
+    Schemas.conformToWarehouse(table, df).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("batchsize", batchSize)
       .jdbc(url, table, props)

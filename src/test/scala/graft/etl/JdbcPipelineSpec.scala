@@ -46,6 +46,25 @@ class JdbcPipelineSpec extends SparkSpec {
     assert(spark.read.jdbc(whUrl, "dim_date", props).count() === 731)
     assert(spark.read.jdbc(whUrl, "dim_staff", props).count() === 3)
 
+    // warehouse columns land TYPED per Schemas.warehouseTables — the sink
+    // casts the transform-stage strings (setup_test_warehouse.sql:8-80)
+    import org.apache.spark.sql.types._
+    val fsoTypes = spark.read.jdbc(whUrl, "fact_sales_order", props)
+      .schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    assert(fsoTypes("agreed_payment_date") === DateType)
+    assert(fsoTypes("agreed_delivery_date") === DateType)
+    assert(fsoTypes("created_date") === DateType)
+    assert(fsoTypes("created_time") === StringType)
+    assert(fsoTypes("unit price") === DecimalType(10, 2))
+    assert(fsoTypes("units_sold") === IntegerType)
+    val payTypes = factPayment1.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    assert(payTypes("payment_date") === DateType)
+    assert(payTypes("paid") === BooleanType)
+    val ddTypes = spark.read.jdbc(whUrl, "dim_date", props)
+      .schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    assert(ddTypes("date_id") === DateType)
+    assert(ddTypes("year") === IntegerType)
+
     // UPDATE payment 3 with a later last_updated, as the reference e2e does
     val conn = DriverManager.getConnection(oltpUrl)
     val st = conn.createStatement()
