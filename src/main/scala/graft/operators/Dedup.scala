@@ -157,6 +157,51 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Engine-portable MinHash hash family: h_i(w) = first 15 hex chars of
+    * md5("i|w") as a 60-bit integer. Any engine with md5 reproduces it
+    * (the DuckDB oracle does), unlike xxhash64 — used by
+    * [[minhashNearDupsPortable]] so the WHOLE sketch pipeline lands under
+    * a hash-checked gate. Slower than xxhash64; the production path keeps
+    * the native sketch aggregate. */
+  def md5TokenHash(w: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), w)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash+LSH near-dup pipeline over the md5 hash family, with the
+    * band hash likewise portable (md5 of the comma-joined band slice).
+    * Same dataflow as [[minhashNearDups]]: signatures → bands → candidate
+    * equi-join → exact Jaccard verification of candidates only. A DuckDB
+    * oracle can replay every stage, so a hash-match proves the banding
+    * produced exactly the right candidate set AND the verification kept
+    * exactly the right pairs. */
+  def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sets = tokenSet(df, idCol, textCol)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5TokenHash(col("w"), i)).as(s"sig_$i"))
+    val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    val bandsDf = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+      .cache()
+    val cands = lshCandidates(bandsDf)
+    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    cands
+      .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
+      .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
+      .withColumn("c", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Keep-list resolution: given near-dup pairs (id1 < id2), drop every
     * doc that pairs with a smaller-id doc — one-iteration star clustering
     * with the minimum id as representative. Returns the kept subset of

@@ -59,8 +59,11 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
-    // ---- ANN index diagnostic: bucket occupancy histogram.
-    GQuery.noOracle("sim_bucket_stats") { (s, dir) =>
+    // ---- ANN index diagnostic: bucket occupancy histogram. The oracle
+    // re-derives the sign-LSH bucket ids with the SAME hyperplanes inlined
+    // as SQL literals (shortest-round-trip double rendering), so the
+    // hash-match covers the projection + bit-assembly, not just row counts.
+    GQuery("sim_bucket_stats", bucketStatsOracle(numPlanes = 6)) { (s, dir) =>
       Similarity.bucketHistogram(t(s, dir, "embeddings"), 6, dim)
         .orderBy("bucket")
     },
@@ -146,4 +149,19 @@ object SimilarityQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** DuckDB replay of [[Similarity.bucketHistogram]]: the seeded
+    * hyperplanes become SQL array literals (Java's shortest-round-trip
+    * double rendering parses back to the identical double), and the
+    * bucket id is the same sum of non-overlapping sign bits. */
+  private def bucketStatsOracle(numPlanes: Int): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val terms = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString(", ")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""SELECT CAST($terms AS BIGINT) AS bucket, count(*) AS n_vectors
+       |FROM embeddings
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 }

@@ -203,6 +203,22 @@ object TextDedup {
         .orderBy("id1", "id2")
     },
 
+    // ---- Engine-portable MinHash+LSH (md5 hash family): the ENTIRE
+    // sketch pipeline — signatures, banding, candidate equi-join, exact
+    // Jaccard verification — is replayed by the DuckDB oracle, so a
+    // hash-match proves the banding generated exactly the right candidate
+    // set and verification kept exactly the right pairs. The xxhash64
+    // production path above stays rows-only (xxhash64 has no SQL
+    // equivalent); both share the identical dataflow.
+    GQuery("dedup_minhash_portable",
+      minhashPortableOracle(scopeLim = 300, numHashes = 64, bands = 16,
+        threshold = 0.8)) { (s, dir) =>
+      Dedup.minhashNearDupsPortable(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("id1", "id2")
+    },
+
     // ---- Keep-list resolution: which docs survive near-dup removal
     // (greedy min-id representative over word-set Jaccard >= 0.8 pairs).
     GQuery(
@@ -291,6 +307,50 @@ object TextDedup {
         .orderBy("id1", "id2")
     }
   )
+
+  /** DuckDB replay of [[graft.operators.Dedup.minhashNearDupsPortable]]:
+    * distinct token sets → 64 md5-family min-hashes → 16 md5 band hashes →
+    * candidate pairs sharing any band → exact Jaccard over candidates. */
+  private def minhashPortableOracle(scopeLim: Int, numHashes: Int,
+      bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(i =>
+      s"min(('0x' || substring(md5('$i|' || w), 1, 15))::BIGINT) AS sig_$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(r => s"sig_$r")
+        .mkString(", ")
+      s"  SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $slice)) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE doc_id < $scopeLim),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM w GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS c
+       |  FROM cands c
+       |  JOIN w a ON a.doc_id = c.id1
+       |  JOIN w b ON b.doc_id = c.id2 AND a.w = b.w
+       |  GROUP BY c.id1, c.id2)
+       |SELECT id1, id2,
+       |  round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = id1
+       |JOIN sz s2 ON s2.doc_id = id2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** DuckDB oracle scaffolding for the md5-keyed 60-bit SimHash: tokenize →
     * 60-bit token hash from md5 hex → per-bit +1/-1 vote sums → signature.

@@ -40,6 +40,19 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.nonEmpty, "shingle LSH found no pairs at 0.25 on this corpus")
   }
 
+  test("portable (md5) minhash: no false positives, recall vs exact pairs") {
+    val scoped = docs.filter(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(
+        Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Dedup.minhashNearDupsPortable(scoped, "doc_id", "text", 64, 16, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(port.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(port.size.toDouble / exact.size >= 0.9,
+      s"portable LSH recall ${port.size}/${exact.size}")
+  }
+
   test("keepList drops exactly the min-id-dominated docs") {
     val scoped = docs.filter(col("doc_id") < 100)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
