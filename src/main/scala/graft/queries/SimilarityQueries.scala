@@ -41,9 +41,13 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
-    // ---- ANN via LSH buckets + multi-probe (scale path; recall asserted
-    // in OperatorsSpec against the brute-force oracle query above).
-    GQuery.noOracle("sim_ann_lsh") { (s, dir) =>
+    // ---- ANN via LSH buckets + multi-probe (scale path). Full oracle:
+    // the seeded hyperplanes and the Hamming-probe mask list are inlined
+    // as SQL literals, so DuckDB replays bucket assignment, probe
+    // expansion, the bucket equi-join, and the per-query top-k — recall
+    // vs brute force is additionally asserted in OperatorsSpec.
+    GQuery("sim_ann_lsh",
+      annLshOracle(numPlanes = 6, k = 5, maxProbeHamming = 2)) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb.filter(col("vec_id") < 10), emb,
           numPlanes = 6, dim = dim, k = 5)
@@ -149,6 +153,45 @@ object SimilarityQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** DuckDB replay of [[Similarity.annTopK]]: literal hyperplanes give the
+    * bucket ids, a literal mask list gives the multi-probe expansion
+    * (xor), and list_cosine_similarity (bit-equal to the engine's
+    * sequential fold) ranks candidates per query. */
+  private def annLshOracle(numPlanes: Int, k: Int, maxProbeHamming: Int): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val h1 = (0 until numPlanes).map(p => 1L << p)
+    val h2 = for {
+      p <- 0 until numPlanes; q <- (p + 1) until numPlanes
+    } yield (1L << p) | (1L << q)
+    val masks = (Seq(0L) ++ (if (maxProbeHamming >= 1) h1 else Nil) ++
+      (if (maxProbeHamming >= 2) h2 else Nil)).mkString(", ")
+    s"""WITH c AS (
+       |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+       |    CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q0 AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+       |    CAST($bucket AS BIGINT) AS qbucket
+       |  FROM embeddings WHERE vec_id < 10),
+       |q AS (
+       |  SELECT query_id, qe, xor(qbucket, m) AS probe
+       |  FROM q0 CROSS JOIN (SELECT unnest([$masks]) AS m) masks),
+       |s AS (
+       |  SELECT query_id, cand_id, list_cosine_similarity(qe, ce) AS cos
+       |  FROM c JOIN q ON c.bucket = q.probe AND cand_id <> query_id),
+       |r AS (
+       |  SELECT query_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS rn
+       |  FROM s)
+       |SELECT query_id, cand_id, round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+  }
 
   /** DuckDB replay of [[Similarity.bucketHistogram]]: the seeded
     * hyperplanes become SQL array literals (Java's shortest-round-trip
