@@ -44,9 +44,12 @@ object Tables {
   }
 
   /** UTC instant → raw nanos literal for pushdown-friendly filters on
-    * events.ts_ns. */
-  def eventsTsNanos(utcInstant: String): Long =
-    java.time.Instant.parse(utcInstant).getEpochSecond * 1000000000L
+    * events.ts_ns. Sub-second precision is preserved (e.g.
+    * "…T00:00:00.5Z" → …500000000 ns). */
+  def eventsTsNanos(utcInstant: String): Long = {
+    val i = java.time.Instant.parse(utcInstant)
+    i.getEpochSecond * 1000000000L + i.getNano
+  }
 
   /** Register every table as a temp view so the same surface is reachable
     * from `spark.sql`. Idempotent. */

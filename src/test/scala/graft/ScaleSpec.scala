@@ -10,6 +10,15 @@ class ScaleSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("eventsTsNanos preserves sub-second precision") {
+    assert(graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00Z")
+      === 1706140800000000000L)
+    assert(graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00.5Z")
+      === 1706140800500000000L)
+    assert(graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00.000000001Z")
+      === 1706140800000000001L)
+  }
+
   test("partitioned fact layout prunes directories via PartitionFilters") {
     val store = new ParquetStore(spark, tmpDir("part"))
     val events = graft.core.Tables(spark, dir, "events")
