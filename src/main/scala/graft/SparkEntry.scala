@@ -18,6 +18,7 @@ object SparkEntry {
       _root_.graft.queries.Analytics.defs ++
       _root_.graft.queries.TextDedup.defs ++
       _root_.graft.queries.SimilarityQueries.defs ++
+      _root_.graft.queries.SamplingQueries.defs ++
       _root_.graft.queries.Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

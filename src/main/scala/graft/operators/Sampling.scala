@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / budgeting for a training-data
+  * pipeline. Randomized `df.sample` is irreproducible across runs and
+  * engines; everything here derives its "randomness" from a content hash,
+  * so splits are stable under re-runs, retries, and engine swaps — the
+  * property a 100 TB corpus build actually needs (and what makes every op
+  * oracle-checkable in SQL).
+  *
+  * The uniform variate: u(key) = first 15 md5 hex chars of the key as a
+  * 60-bit integer, scaled to [0, 1). Pure column algebra — per-row, no
+  * shuffle, fully pushdown-friendly.
+  */
+object Sampling {
+
+  /** 60-bit content hash (same family as [[Dedup.md5TokenHash]]). */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic uniform [0,1) variate from a key column. */
+  def uniform(key: Column): Column =
+    hash60(key).cast("double") / lit((1L << 60).toDouble)
+
+  /** Leakage-safe train/test split: the split is keyed on CONTENT, so
+    * exact duplicates always land on the same side (an id-keyed split
+    * leaks dup text across the boundary). Returns df + `split` column. */
+  def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double): DataFrame =
+    df.withColumn("split",
+      when(uniform(col(keyCol)) < testFraction, "test").otherwise("train"))
+
+  /** Deterministic stratified sampling: per-stratum keep fractions (e.g.
+    * up-/down-weighting sources in a data mix). Unlisted strata are
+    * dropped. One scan, no shuffle; the keep decision is a pure function
+    * of (stratum, key). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(uniform(concat(col(stratumCol), lit("|"), col(keyCol))) < frac)
+  }
+
+  /** Token-budget shard: rows in `orderCol` order until the running token
+    * total exceeds `budget` (the "build a shard of N tokens" primitive).
+    * The cumulative sum is a window over the global order — at corpus
+    * scale, order by a partition-friendly key (date, bucket) so ranges
+    * parallelize; the semantics here are the deterministic reference. */
+  def tokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables}
+import graft.operators.{Sampling, TextOps}
+
+/** Deterministic sampling / splitting / budgeting through the driver gate.
+  * Every op derives its "randomness" from a 60-bit md5 content hash
+  * ([[Sampling.uniform]]), so DuckDB replays each decision exactly —
+  * full hash-checked oracles for what `df.sample` could only rows-check. */
+object SamplingQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables(s, dir, n)
+
+  /** 2^60 as a double literal, the uniform-variate denominator. */
+  private val denom = "1152921504606846976.0"
+
+  private def uniformSql(keyExpr: String): String =
+    s"(('0x' || substring(md5($keyExpr), 1, 15))::BIGINT / $denom)"
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- Leakage-safe train/test split: keyed on CONTENT so exact
+    // duplicate docs always land on the same side (an id-keyed split
+    // would leak duplicated text across the boundary).
+    GQuery(
+      "smp_train_test",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${uniformSql("text")} < 0.2
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.trainTestSplit(t(s, dir, "documents"), "text", 0.2)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // ---- Deterministic stratified sampling (source mixing): per-language
+    // keep fractions, decision a pure function of (stratum, key).
+    GQuery(
+      "smp_stratified",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${uniformSql("lang || '|' || doc_id")} <
+         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+         |            WHEN 'fr' THEN 0.25 ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- Token-budget shard: docs in id order until the running token
+    // total passes the budget (the "build a shard of N tokens" primitive).
+    GQuery(
+      "smp_token_budget",
+      """SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+        |  SELECT doc_id,
+        |    sum(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (ORDER BY doc_id) AS cum_tokens
+        |  FROM documents) b
+        |WHERE cum_tokens <= 5000
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.tokenBudget(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).as("n_toks")),
+          "doc_id", "n_toks", budget = 5000L)
+        .select("doc_id", "cum_tokens")
+        .orderBy("doc_id")
+    }
+  )
+}

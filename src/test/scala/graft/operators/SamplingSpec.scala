@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting properties on the real corpus. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.core.Tables(spark, dir, "documents")
+
+  test("train/test split is deterministic and content-keyed (no dup leakage)") {
+    val s1 = Sampling.trainTestSplit(docs, "text", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.trainTestSplit(docs, "text", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2)
+
+    // exact duplicates land on the same side, always
+    val dupSides = Sampling.trainTestSplit(docs, "text", 0.2)
+      .groupBy("text").agg(countDistinct(col("split")).as("sides"))
+      .agg(max(col("sides"))).head().getLong(0)
+    assert(dupSides === 1L, "duplicate texts split across train/test")
+
+    // both sides populated, test fraction in a loose band around 20%
+    val n = s1.size.toDouble
+    val testFrac = s1.values.count(_ == "test") / n
+    assert(testFrac > 0.05 && testFrac < 0.45, s"test fraction $testFrac")
+  }
+
+  test("stratified sample keeps ~the per-stratum fractions, drops unlisted") {
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.stratifiedSample(docs, "lang", "doc_id", fractions)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet.subsetOf(fractions.keySet), s"unlisted strata kept: $after")
+    assert(after("de") === before("de"), "fraction 1.0 must keep everything")
+    val enRate = after("en").toDouble / before("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en keep rate $enRate (want ~0.5)")
+  }
+
+  test("token budget: cumulative sum is monotone and within budget") {
+    val shard = Sampling.tokenBudget(
+        docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n")),
+        "doc_id", "n", budget = 5000L)
+      .orderBy("doc_id").collect()
+    assert(shard.nonEmpty)
+    val cums = shard.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.last <= 5000L)
+    assert(cums.sameElements(cums.sorted), "cumulative sum must be monotone")
+    // the NEXT doc would have blown the budget (shard is maximal)
+    val all = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    if (all.length > shard.length)
+      assert(cums.last + all(shard.length).getAs[Long]("n") > 5000L)
+  }
+}
