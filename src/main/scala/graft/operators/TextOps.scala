@@ -43,6 +43,22 @@ object TextOps {
   /** Content fingerprint: md5 of the raw bytes (stable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical normalization for dedup/training: lowercase, trim, collapse
+    * whitespace runs to single spaces. RE2-safe pattern (no lookaround),
+    * so any engine reproduces it. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** PII redaction: emails → <EMAIL>, long digit runs (account/phone
+    * numbers) → <NUM>. Patterns are RE2-safe character classes — the
+    * subset of regex that behaves identically in Java, RE2, and DuckDB.
+    * Per-row, no shuffle; at 100 TB this is a pure map stage. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** Polynomial rolling hash over characters (Rabin–Karp style) modulo a
     * large prime, computed with `aggregate` over the char codepoints —
     * deterministic, codegen-friendly, no UDF. Modular form keeps the

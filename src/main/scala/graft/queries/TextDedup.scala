@@ -116,6 +116,88 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Canonical normalization (lower/trim/collapse-whitespace) — the
+    // pre-dedup cleanup stage; md5 of the result pins every byte.
+    GQuery(
+      "txt_normalize",
+      """SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(col("text")).as("norm_text"),
+          md5(TextOps.normalize(col("text"))).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PII redaction (emails, long digit runs) over text with
+    // synthesized PII appended so matches exist at every sf. RE2-safe
+    // patterns behave identically in Spark (Java regex) and DuckDB (RE2).
+    GQuery(
+      "txt_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@example.com ref 1234567890',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.redact(concat(col("text"), lit(" contact user"),
+            col("doc_id"), lit("@example.com ref 1234567890"))).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Vocabulary extraction: top-50 bigrams by document frequency
+    // (the n-gram vocab-building primitive; one explode + one groupBy).
+    GQuery(
+      "txt_vocab_bigrams",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks) x)
+        |SELECT w AS ngram, count(*) AS df
+        |FROM w GROUP BY w
+        |ORDER BY df DESC, ngram LIMIT 50""".stripMargin) { (s, dir) =>
+      Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 2)
+        .groupBy(col("w").as("ngram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(50)
+    },
+
+    // ---- Benchmark-contamination detection: corpus docs sharing any
+    // 3-gram with the benchmark slice (semi-join on the shingle key — at
+    // scale this is the standard n-gram-overlap decontamination pass,
+    // an equi-join, never all-pairs).
+    GQuery(
+      "txt_contamination",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks) x),
+        |bench AS (SELECT DISTINCT w FROM sh WHERE doc_id < 20)
+        |SELECT DISTINCT doc_id FROM sh
+        |WHERE doc_id >= 20 AND w IN (SELECT w FROM bench)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text", 3)
+      sh.filter(col("doc_id") >= 20)
+        .join(sh.filter(col("doc_id") < 20).select("w").distinct(),
+          Seq("w"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    },
+
     // ---- Exact dedup: group by content, keep min id.
     GQuery(
       "dedup_exact",

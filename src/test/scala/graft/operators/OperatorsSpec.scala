@@ -247,6 +247,20 @@ class OperatorsSpec extends SparkSpec {
       && got(4L) === "und")
   }
 
+  test("normalize collapses whitespace; redact masks emails and digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello \t WORLD  "),
+      (2L, "mail a.b+c@x-y.co and 123456789 now; short 12345 stays"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.normalize(col("text")).as("n"),
+        TextOps.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 === "hello world")
+    assert(out(2L)._2 === "mail <EMAIL> and <NUM> now; short 12345 stays")
+  }
+
   test("rolling hash: deterministic, content-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("doc_id", "text")
