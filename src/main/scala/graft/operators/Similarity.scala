@@ -195,6 +195,22 @@ object Similarity {
         round(col("cos"), 4).as("cosine"), col("rn"))
   }
 
+  /** Symmetric per-vector int8 quantization (the ANN-index compression
+    * primitive): scale = max|x|/127, q_i = round(x_i/scale). 4× smaller
+    * index, dequant error ≤ scale/2 per component (spec-asserted). Pure
+    * column algebra — per-row, no shuffle, engine-reproducible (oracle
+    * replays it with list_transform/list_max). Zero vectors quantize to
+    * zeros via the scale floor. */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), _.cast("double"))
+    val scale = greatest(
+      array_max(transform(e, x => abs(x))) / lit(127.0), lit(1e-30))
+    vectors.select(
+      col("vec_id"),
+      scale.as("scale"),
+      transform(e, x => round(x / scale).cast("long")).as("qvec"))
+  }
+
   /** Bucket occupancy histogram — the partitioning diagnostic for the ANN
     * index (skewed buckets → add planes or salt). */
   def bucketHistogram(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =

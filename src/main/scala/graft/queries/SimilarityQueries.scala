@@ -72,6 +72,27 @@ object SimilarityQueries {
         .orderBy("bucket")
     },
 
+    // ---- Symmetric int8 quantization of the embedding column (4× index
+    // compression; oracle replays scale + rounding per component).
+    GQuery(
+      "emb_quantize_int8",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+        |      1e-30) AS scale
+        |  FROM v)
+        |SELECT vec_id, round(scale, 6) + 0.0 AS scale_r,
+        |  list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          (round(col("scale"), 6) + lit(0.0)).as("scale_r"),
+          col("qvec"))
+        .orderBy("vec_id")
+    },
+
     // ---- Vector norms + array access (array function surface with oracle).
     GQuery(
       "emb_norms",

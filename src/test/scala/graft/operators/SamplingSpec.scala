@@ -43,6 +43,31 @@ class SamplingSpec extends SparkSpec {
     assert(enRate > 0.3 && enRate < 0.7, s"en keep rate $enRate (want ~0.5)")
   }
 
+  test("split/sample plans are pure scans — no shuffle, no exchange") {
+    // per-row hash decisions must not repartition anything at 100 TB
+    Seq(
+      Sampling.trainTestSplit(docs, "text", 0.2),
+      Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.5)))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), "sampling plan shuffles:\n" + plan.take(1500))
+      }
+  }
+
+  test("int8 quantization: dequant error bounded by scale/2") {
+    val q = graft.operators.Similarity.quantizeInt8(
+      graft.core.Tables(spark, dir, "embeddings"))
+    val joined = graft.core.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .join(q, Seq("vec_id"))
+      .select(col("vec_id"), col("scale"),
+        array_max(zip_with(col("e"), col("qvec"),
+          (x, qv) => abs(x - qv.cast("double") * col("scale")))).as("max_err"))
+    val bad = joined.filter(col("max_err") > col("scale") * 0.5 + 1e-12).count()
+    assert(bad === 0L, s"$bad vectors exceed the dequant error bound")
+    assert(q.count() === 500L)
+  }
+
   test("token budget: cumulative sum is monotone and within budget") {
     val shard = Sampling.tokenBudget(
         docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n")),
