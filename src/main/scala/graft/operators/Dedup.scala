@@ -245,7 +245,7 @@ object Dedup {
     * the loop exits early on convergence (one count() action per round —
     * driver-side control flow, distributed data flow). `localCheckpoint`
     * truncates the per-round lineage so plans don't grow unboundedly. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -256,16 +256,24 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate label via neighbors: min over adjacent comps
+      // (a) candidate label via neighbors: min over adjacent comps
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")),
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("nbr_min"))
-      val next = labels
+      val hopped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      // (b) pointer jump (path halving): comp ← comp(comp). Labels always
+      // point at smaller ids, so chasing the label's own label shortcuts
+      // chains — with (a) this converges in O(log diameter) rounds, not
+      // O(diameter): a million-node path needs ~20 rounds, not a million.
+      val next = hopped.as("l")
+        .join(hopped.select(col("id").as("comp"), col("comp").as("comp2")).as("p"),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") =!= col("prev"))
@@ -273,6 +281,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter > 2^maxIter); raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 

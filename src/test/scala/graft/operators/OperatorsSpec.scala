@@ -90,6 +90,17 @@ class OperatorsSpec extends SparkSpec {
     assert(cc.contains(5L) && !cc.contains(7L) && cc.contains(12L))
   }
 
+  test("connected components: 200-node chain converges (pointer jumping)") {
+    import spark.implicits._
+    // a path graph has diameter 199 — one-hop propagation would need 199
+    // rounds; path halving must close it within the default 20
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 200)
+    assert(comps.values.forall(_ === 0L), "chain must collapse to node 0")
+  }
+
   test("connected components on the real corpus: comp is min of its members") {
     val scoped = docs.filter(col("doc_id") < 100)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
