@@ -91,6 +91,7 @@ object GraftFunctions {
 
   val cosineName = "graft_cosine"
   val minhashName = "graft_minhash"
+  val intersectName = "graft_intersect_count"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -106,6 +107,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, exprs => {
         val n = exprs(1) match {
           case e if e.foldable => e.eval().asInstanceOf[Int]
@@ -118,6 +121,11 @@ object GraftFunctions {
 
   /** Column-API handle (requires register(spark) on the active session). */
   def cosine(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  /** |set(a) ∩ set(b)| of two array<string> columns — the fused MinHash
+    * verification kernel. */
+  def intersectCount(a: Column, b: Column): Column =
+    call_function(intersectName, a, b)
 
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =

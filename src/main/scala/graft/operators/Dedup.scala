@@ -150,7 +150,11 @@ object Dedup {
     cands
       .join(a1, Seq("id1"))
       .join(a2, Seq("id2"))
-      .withColumn("c", size(array_intersect(col("toks1"), col("toks2"))))
+      // fused codegen'd set-intersection count — the hot per-pair kernel
+      // (size(array_intersect(...)) would allocate an intermediate array
+      // per candidate pair)
+      .withColumn("c",
+        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -195,7 +199,8 @@ object Dedup {
     cands
       .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
       .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
-      .withColumn("c", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("c",
+        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

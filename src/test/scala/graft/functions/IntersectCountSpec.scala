@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused intersection-count kernel vs the composable
+  * size(array_intersect) form — must agree everywhere it replaces it. */
+class IntersectCountSpec extends SparkSpec {
+
+  test("agrees with size(array_intersect) on real corpus token arrays") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val sets = graft.operators.Dedup.tokenSet(docs, "doc_id", "text")
+    val arr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    val pairs = arr.select(col("doc_id").as("id1"), col("toks").as("t1"))
+      .crossJoin(arr.select(col("doc_id").as("id2"), col("toks").as("t2")))
+      .filter(col("id1") < col("id2"))
+    val diff = pairs.withColumn("fused",
+        GraftFunctions.intersectCount(col("t1"), col("t2")))
+      .withColumn("ref", size(array_intersect(col("t1"), col("t2"))))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("set semantics under duplicates, empties, and null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "b", "c", "d")), // dup-heavy: {b,c}
+      (Seq.empty[String], Seq("a")),                      // empty left
+      (Seq("x"), Seq.empty[String]),                      // empty right
+      (Seq("a", "a"), Seq("a", "a"))                      // dups both sides
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.intersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 0, 0, 1))
+
+    // null array -> null result; null elements skipped
+    val withNulls = Seq(
+      (Some(Seq(Some("a"), None, Some("b"))), Some(Seq(Some("b"), None))),
+      (None: Option[Seq[Option[String]]], Some(Seq(Some("a"), None))))
+      .toDF("a", "b")
+    val rows = withNulls
+      .select(GraftFunctions.intersectCount(col("a"), col("b")).as("c"))
+      .collect()
+    assert(rows(0).getInt(0) === 1)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("kernel appears in the plan (codegen path, not array_intersect)") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = graft.operators.Dedup.minhashNearDups(
+      docs.filter(col("doc_id") < 50), "doc_id", "text", 64, 16, 0.8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_intersect_count"), plan.take(2000))
+    assert(!plan.contains("array_intersect"), "composable fallback in hot path")
+  }
+}
