@@ -149,6 +149,60 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // ---- Funnel / conversion analysis: ordered-sequence detection
+    // view → click → purchase per user (each stage's first event must
+    // follow the previous stage's). Three grouped mins + two equi-joins,
+    // all on user_id — the shuffles share one key, and every aggregate is
+    // map-side partial; no window over the raw event stream needed.
+    GQuery(
+      "evt_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS stages,
+        |  epoch_us(t_click) - epoch_us(t_view) AS us_view_to_click,
+        |  epoch_us(t_purchase) - epoch_us(t_click) AS us_click_to_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1)
+            + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .cast("long").as("stages"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+            .as("us_view_to_click"),
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+            .as("us_click_to_purchase"))
+        .orderBy("user_id")
+    },
+
     // ---- Sketch cardinality: HyperLogLog++ distinct-user counts. At
     // 100 TB the exact variant above shuffles every distinct (type, user)
     // pair; the sketch is a fixed-size buffer merged map-side — the only
