@@ -21,7 +21,18 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Analyzed-relation cache: repeated Tables() calls (80 gate queries ×
+    * up to 10 tables each) would re-list files and re-read parquet footers
+    * for schema inference every time — pure per-query constant overhead.
+    * Keyed by session so separate sessions (tests vs mains) stay isolated;
+    * the cached value is the lazy plan, nothing is materialized. */
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationCache.getOrElseUpdate((spark, dir, name), build(spark, dir, name))
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
