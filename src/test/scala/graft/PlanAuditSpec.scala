@@ -115,6 +115,30 @@ class PlanAuditSpec extends SparkSpec {
       "customer-side join must not be forced-broadcast:\n" + plan.take(3000))
   }
 
+  test("gate-wide audit: no accidental cartesian/nested-loop joins") {
+    // Ops whose semantics REQUIRE a non-equi or all-pairs join, documented
+    // at their definition: brute-force cosine and all-pairs embedding
+    // similarity (exact verifiers), the kmeans/IVF centroid assign
+    // (crossJoin against a <=numCentroids frame), and range/interval
+    // predicates (q25, asof composition q24).
+    // q20 crossJoins a guaranteed single-row aggregate (scalar-subquery
+    // pattern — a 1-row broadcast build side costs nothing at any scale).
+    val intentional = Set(
+      "sim_cosine_topk", "sim_ann_ivf", "dedup_embedding_cosine",
+      "q25_errors_before_purchase", "q24_asof_error_click",
+      "q20_above_avg_balance")
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => intentional(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, dir).queryExecution.sparkPlan.toString
+        val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (flags.nonEmpty) Some(s"${q.name}: ${flags.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty,
+      "queries planning nested-loop joins:\n" + offenders.mkString("\n"))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
