@@ -149,6 +149,31 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // ---- Typed custom aggregators (Aggregator API) under the oracle
+    // gate: bounded top-k (only the k-sized buffer shuffles, not the
+    // group) and exact weighted mean ((sum, weight) buffer) — both
+    // map-side merged like built-in aggregates. Weight is a deterministic
+    // function of user_id so the oracle reproduces it.
+    GQuery(
+      "evt_weighted_stats",
+      """SELECT event_type,
+        |  round(sum(value * (1 + user_id % 3)) / sum(1 + user_id % 3), 4)
+        |    AS wmean,
+        |  (list(value ORDER BY value DESC))[1:3] AS top3
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val topk = udaf(graft.operators.Aggregators.TopK(3))
+      val wmean = udaf(graft.operators.Aggregators.WeightedMean())
+      t(s, dir, "events")
+        .withColumn("w", (lit(1) + col("user_id") % 3).cast("double"))
+        .groupBy("event_type")
+        .agg(
+          round(wmean(col("value"), col("w")), 4).as("wmean"),
+          topk(col("value")).as("top3"))
+        .orderBy("event_type")
+    },
+
     // ---- Funnel / conversion analysis: ordered-sequence detection
     // view → click → purchase per user (each stage's first event must
     // follow the previous stage's). Three grouped mins + two equi-joins,
