@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.ParquetStore
+
+/** Persisted IVF index lifecycle: build once, query many times.
+  *
+  * Build writes two artifacts into a [[ParquetStore]]:
+  *  - `<name>_centroids`: the (tiny) Lloyd-refined coarse quantizer;
+  *  - `<name>_cells`: every vector tagged with its cell, laid out as a
+  *    HIVE-PARTITIONED dataset on `cell`.
+  *
+  * The partitioned layout is the scale story: a query probes `nProbe`
+  * cells, and the cell equi-join prunes the scan to exactly those
+  * directories (dynamic partition pruning) — at 100 TB the index read is
+  * proportional to cells probed, not corpus size, which is the defining
+  * property of an inverted-file index. */
+object IvfIndex {
+
+  def build(vectors: DataFrame, store: ParquetStore, name: String,
+      numCentroids: Int, lloydIters: Int): Unit = {
+    val centroids = Similarity.kmeansCentroids(
+      vectors.select(col("vec_id"), col("embedding")), numCentroids, lloydIters)
+    store.write(s"${name}_centroids", centroids)
+    val cells = Similarity.assignCells(
+      vectors.select(col("vec_id").as("cand_id"),
+        transform(col("embedding"), _.cast("double")).as("cemb")),
+      "cand_id", "cemb", centroids, keep = 1)
+    store.writePartitioned(s"${name}_cells", cells, Seq("cell"))
+  }
+
+  def query(store: ParquetStore, name: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = store.read(s"${name}_centroids")
+    val probes = Similarity.assignCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", centroids, keep = nProbe)
+    val cells = store.read(s"${name}_cells")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("cemb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+}

@@ -160,29 +160,31 @@ object Similarity {
     * scale: candidate generation is an equi-join on cell_id, never a
     * cross join.
     */
+  /** Cell assignment = arg-top-`keep` cosine over the (broadcast)
+    * centroid set — one pass over `df`, shared by the inline IVF path and
+    * the persisted [[IvfIndex]]. */
+  def assignCells(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col(embCol), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .select(col(idCol), col(embCol), col("centroid_id").as("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame = {
     val centroids = kmeansCentroids(
       candidates.select(col("vec_id"), col("embedding")), numCentroids, lloydIters)
 
-    // cell assignment = argmax cosine over centroids (broadcast; one pass)
-    def assign(df: DataFrame, idCol: String, embCol: String, outCell: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("ccos", cosine(col(embCol), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .select(col(idCol), col(embCol), col("centroid_id").as(outCell))
-    }
-
-    val cells = assign(
+    val cells = assignCells(
       candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cemb")),
-      "cand_id", "cemb", "cell", keep = 1)
-    val probes = assign(
+      "cand_id", "cemb", centroids, keep = 1)
+    val probes = assignCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-      "query_id", "qe", "cell", keep = nProbe)
+      "query_id", "qe", centroids, keep = nProbe)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
