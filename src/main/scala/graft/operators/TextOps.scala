@@ -73,6 +73,25 @@ object TextOps {
       (acc, c) => (acc * lit(P) + c) % lit(M))
   }
 
+  /** Intra-document repetition stats (the Gopher/C4-style repetition
+    * signals): distinct-token ratio and the most-frequent token's share.
+    * Two-level aggregation — per-(doc, token) counts then per-doc rollup —
+    * both map-side partial, one shuffle key (doc_id). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("distinct_ratio"),
+        round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("top_token_ratio"))
+
   /** Character n-gram profile language-ID heuristic: scores text against
     * tiny per-language stopword profiles and picks the argmax (returns
     * "und" when nothing matches). Profiles are the classic function words;

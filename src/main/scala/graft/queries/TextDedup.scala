@@ -198,6 +198,76 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Intra-document repetition signals (Gopher/C4-style):
+    // distinct-token ratio + most-frequent-token share.
+    GQuery(
+      "txt_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, max(cnt) AS top_cnt
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+        |  round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_token_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style quality-rule filter: token-count bounds, mean
+    // token length band, stopword presence, repetition cut — the standard
+    // pretraining curation pass, emitted as the kept subset. Ratio
+    // comparisons use the same unrounded doubles on both engines.
+    GQuery(
+      "txt_quality_filter",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+        |rep AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct
+        |  FROM per GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id, d.lang, r.n_tokens,
+        |    (CAST(length(d.text) AS DOUBLE) - (r.n_tokens - 1)) / r.n_tokens
+        |      AS avg_tok_len,
+        |    CAST(r.n_distinct AS DOUBLE) / r.n_tokens AS distinct_ratio,
+        |    len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |      x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id)
+        |SELECT doc_id, lang, n_tokens
+        |FROM q
+        |WHERE n_tokens BETWEEN 15 AND 10000
+        |  AND avg_tok_len BETWEEN 2 AND 12
+        |  AND distinct_ratio >= 0.3
+        |  AND n_stop > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rep = TextOps.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      val nStop = size(filter(TextOps.tokens(col("text")),
+        x => x.isInCollection(stopwords)))
+      docs.join(rep, Seq("doc_id"))
+        .withColumn("avg_tok_len",
+          (length(col("text")).cast("double") - (col("n_tokens") - lit(1)))
+            / col("n_tokens").cast("double"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .filter(col("n_tokens").between(15, 10000)
+          && col("avg_tok_len").between(2, 12)
+          && col("distinct_ratio") >= 0.3
+          && nStop > 0)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     // ---- Exact dedup: group by content, keep min id.
     GQuery(
       "dedup_exact",
