@@ -419,6 +419,41 @@ object Relational {
         .filter(col("c_acctbal") > col("global_avg"))
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // ---- Full outer join: year-over-year comparison of big-order days
+    // (day-of-March grain is sparse enough that both null sides occur at
+    // the gate scale — a full-outer that degenerates to inner proves
+    // nothing). USING-join coalesces the key on both engines.
+    GQuery(
+      "q33_full_outer_compare",
+      """WITH a AS (
+        |  SELECT CAST(day(o_orderdate) AS BIGINT) AS d,
+        |    count(*) AS n96, round(sum(o_totalprice), 2) AS s96
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 3
+        |    AND o_totalprice > 400000
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(day(o_orderdate) AS BIGINT) AS d,
+        |    count(*) AS n97, round(sum(o_totalprice), 2) AS s97
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3
+        |    AND o_totalprice > 400000
+        |  GROUP BY 1)
+        |SELECT d AS day, n96, s96, n97, s97
+        |FROM a FULL JOIN b USING (d)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      def side(yr: Int, n: String, sm: String) =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === yr
+            && month(col("o_orderdate")) === 3
+            && col("o_totalprice") > 400000)
+          .groupBy(dayofmonth(col("o_orderdate")).cast("long").as("day"))
+          .agg(count(lit(1)).as(n), round(sum(col("o_totalprice")), 2).as(sm))
+      side(1996, "n96", "s96")
+        .join(side(1997, "n97", "s97"), Seq("day"), "full_outer")
+        .orderBy("day")
     }
   )
 }

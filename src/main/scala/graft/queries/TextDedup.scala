@@ -431,6 +431,35 @@ object TextDedup {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // ---- Edit-distance fuzzy dedup over the CANONICALIZED text (tokens
+    // sorted, prefix-80): canonicalization makes word-order-shuffled
+    // near-dups low-distance, which raw text hides. Scoped all-pairs
+    // verifier like the other exact dedup paths — the scale path for
+    // edit-similarity is the n-gram/LSH family above.
+    GQuery(
+      "dedup_edit_distance",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substring(array_to_string(
+        |      list_sort(string_split_regex(trim(text), '\s+')), ' '), 1, 80)
+        |      AS canon
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS edit_dist
+        |FROM c a JOIN c b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.canon, b.canon) <= 10
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val canon = substring(
+        concat_ws(" ", array_sort(TextOps.tokens(col("text")))), 1, 80)
+      val c = t(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"), canon.as("canon"))
+      c.as("a").join(c.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          levenshtein(col("a.canon"), col("b.canon")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy("id1", "id2")
+    },
+
     // ---- SimHash signatures (md5-keyed 60-bit variant so the oracle can
     // reproduce the token hash; bit-vote logic identical to the xxhash64
     // production variant, spec-asserted in OperatorsSpec).

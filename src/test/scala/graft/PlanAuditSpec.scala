@@ -126,7 +126,8 @@ class PlanAuditSpec extends SparkSpec {
     val intentional = Set(
       "sim_cosine_topk", "sim_ann_ivf", "dedup_embedding_cosine",
       "q25_errors_before_purchase", "q24_asof_error_click",
-      "q20_above_avg_balance")
+      "q20_above_avg_balance",
+      "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
