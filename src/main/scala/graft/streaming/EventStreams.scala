@@ -122,6 +122,15 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-static enrichment join: the unbounded event stream joined to
+    * a bounded dimension frame. The static side needs no watermark and no
+    * streaming state — each micro-batch plans a fresh broadcast-hash join
+    * against it (dimension updates between batches are picked up on
+    * re-read), the streaming mirror of the batch star join. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      joinCol: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinCol))
+
   /** Micro-batch file ingestion: the streaming analogue of the reference's
     * timer-driven extract — new parquet files under `dir` are picked up
     * `maxFilesPerTrigger` at a time with exactly-once tracking in the

@@ -49,6 +49,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out("2024-01-01 01:00:00.0") === 1L)
   }
 
+  test("stream-static enrichment join: events pick up dimension attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:10:00", 1), ev(2, "2024-01-01 00:20:00", 2),
+        ev(3, "2024-01-01 00:30:00", 9)) // user 9 not in the dim
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(rows === Map(1L -> "gold", 2L -> "basic")) // inner join drops 9
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session; timeout emits it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
