@@ -56,4 +56,18 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Shard the WHOLE corpus into consecutive ~`budget`-token chunks (the
+    * generalization of [[tokenBudget]] from "first shard" to "all
+    * shards"): shard_id = floor of the preceding-rows token total over the
+    * budget, so a shard never starts past the boundary and every doc gets
+    * exactly one shard. Deterministic given the total order. */
+  def tokenShards(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard_id",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+  }
 }

@@ -69,6 +69,28 @@ object SamplingQueries {
           "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "cum_tokens")
         .orderBy("doc_id")
+    },
+
+    // ---- Full-corpus sharding into consecutive ~5k-token chunks: every
+    // doc gets exactly one shard id (floor of preceding token total /
+    // budget) — the "cut the corpus into training shards" primitive.
+    GQuery(
+      "smp_token_shards",
+      """SELECT doc_id,
+        |  CAST(floor(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 5000) AS BIGINT) AS shard_id
+        |FROM (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents) d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.tokenShards(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).as("n_toks")),
+          "doc_id", "n_toks", budget = 5000L)
+        .select("doc_id", "shard_id")
+        .orderBy("doc_id")
     }
   )
 }

@@ -19,6 +19,38 @@ class ScaleSpec extends SparkSpec {
       === 1706140800000000001L)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one pathological key (50k rows with a fat payload) + uniform tail
+      val left = spark.range(50000)
+        .select(lit(0L).as("k"), concat(lit("x" * 64), $"id").as("payload"))
+        .union(spark.range(2000)
+          .select(($"id" % 100).as("k"), concat(lit("y"), $"id").as("payload")))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = left.join(right, Seq("k"))
+      // collect (not count) so the fat payload column survives pruning and
+      // the skewed partition's byte size crosses the threshold
+      assert(j.collect().length === 52000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned fact layout prunes directories via PartitionFilters") {
     val store = new ParquetStore(spark, tmpDir("part"))
     val events = graft.core.Tables(spark, dir, "events")
