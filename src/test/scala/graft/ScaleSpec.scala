@@ -25,12 +25,16 @@ class ScaleSpec extends SparkSpec {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // disable BOTH broadcast thresholds (static and AQE-runtime) or AQE
+    // converts the SMJ to broadcast before the skew optimizer can split it
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       // one pathological key (50k rows with a fat payload) + uniform tail
       val left = spark.range(50000)
