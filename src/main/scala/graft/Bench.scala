@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * on the shuffle-heavy near-dup queries has been observed to vary ~3×
   * with background load. The 1-minute loadavg is recorded at bench start
   * and end, and any query that is BOTH slow (>5 s) and started under high
-  * load (>8) is re-run once with the better time kept — a genuine
-  * regression reproduces on the re-run; a load spike doesn't. */
+  * load (>8) is re-run once for DIAGNOSIS: the reported per-query time is
+  * always the first (single-pass) measurement — never best-of-two, which
+  * would bias the headline — and the rerun pair lands in the `reruns`
+  * field so a reader can tell a load spike (rerun much faster) from a
+  * genuine regression (rerun agrees). */
 object Bench {
 
   private def loadavg(): Double =
@@ -60,13 +63,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      val secs =
-        if (first > 5.0 && loadAtStart > 8.0) {
-          val second = once()
-          reruns ::= ((q.name, first, second))
-          math.min(first, second)
-        } else first
-      q.name -> secs
+      if (first > 5.0 && loadAtStart > 8.0)
+        reruns ::= ((q.name, first, once()))
+      q.name -> first
     }
     val loadEnd = loadavg()
 

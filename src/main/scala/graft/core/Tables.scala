@@ -21,16 +21,38 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Analyzed-relation cache: repeated Tables() calls (80 gate queries ×
+  /** Analyzed-relation cache: repeated Tables() calls (80+ gate queries ×
     * up to 10 tables each) would re-list files and re-read parquet footers
     * for schema inference every time — pure per-query constant overhead.
-    * Keyed by session so separate sessions (tests vs mains) stay isolated;
-    * the cached value is the lazy plan, nothing is materialized. */
+    * A WeakHashMap keyed on the session keeps isolation AND lets stopped
+    * sessions (plus every cached plan holding their SessionState) be
+    * collected instead of leaking for the JVM lifetime. The cached value
+    * is the lazy plan, nothing is materialized.
+    *
+    * Caveat: the first read's file-listing snapshot is served for the
+    * session's lifetime — correct for the immutable driver testdata this
+    * registry serves; call [[invalidateCache]] if a directory is rewritten
+    * mid-session. */
   private val relationCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.getOrElseUpdate((spark, dir, name), build(spark, dir, name))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relationCache.synchronized {
+      val existing = relationCache.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        relationCache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
+  }
+
+  /** Drop cached relations for a session (e.g. after rewriting a dir). */
+  def invalidateCache(spark: SparkSession): Unit =
+    relationCache.synchronized { relationCache.remove(spark) }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent

@@ -90,30 +90,38 @@ object Dedup {
     sets.groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.minhash(col("w"), numHashes).as("sig"))
 
-  /** LSH banding over an array<long> signature column. */
-  def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** One (band_idx, band_hash) struct per band: the single banding
+    * construction shared by every LSH variant — `sigCol` abstracts where
+    * signature element i lives (array slot vs column), `bandHash` the
+    * band-hash family (xxhash64 in production, md5 in the
+    * oracle-portable pipeline). */
+  private def bandedExplode(signatures: DataFrame, numHashes: Int, bands: Int,
+      sigCol: Int => Column,
+      bandHash: (Seq[Column], Int) => Column): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-      struct(lit(b).as("band_idx"), xxhash64(slice :+ lit(b): _*).as("band_hash"))
+      val slice = (0 until rows).map(r => sigCol(b * rows + r))
+      struct(lit(b).as("band_idx"), bandHash(slice, b).as("band_hash"))
     }
     signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
+  private def xxBandHash(slice: Seq[Column], b: Int): Column =
+    xxhash64(slice :+ lit(b): _*)
+
+  /** LSH banding over an array<long> signature column. */
+  def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedExplode(signatures, numHashes, bands,
+      i => element_at(col("sig"), i + 1), xxBandHash)
+
   /** LSH banding over minhash signatures: split the signature into
     * `bands` groups of rows, hash each band, and emit (doc_id, band_idx,
     * band_hash) — docs sharing any (band_idx, band_hash) are candidates.
     * Probability a pair with Jaccard s collides: 1-(1-s^r)^b. */
-  def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
-      struct(lit(b).as("band_idx"), xxhash64(slice :+ lit(b): _*).as("band_hash"))
-    }
-    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-  }
+  def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedExplode(signatures, numHashes, bands,
+      i => col(s"sig_$i"), xxBandHash)
 
   /** Candidate pairs from LSH banding (distinct on the pair). */
   def lshCandidates(bandsDf: DataFrame): DataFrame =
@@ -132,7 +140,7 @@ object Dedup {
     * pair (shuffled hash join on the doc id — the per-doc array table IS
     * the corpus at pipeline scale, so it must never be force-broadcast;
     * AQE promotes the join to broadcast when the table genuinely fits)
-    * and computes `array_intersect` inside codegen. On a
+    * and counts the intersection with the fused codegen kernel. On a
     * high-self-similarity corpus the candidate set is near-quadratic, so
     * an explode-style token join would shuffle |cands|·|tokens| rows;
     * the array form keeps verification shuffle-free per pair. */
@@ -150,16 +158,24 @@ object Dedup {
     val bandsDf = lshBandsFromSig(
         minhashSignaturesAgg(sets, numHashes), numHashes, bands)
       .cache()
-    val cands = lshCandidates(bandsDf)
+    verifyCandidates(lshCandidates(bandsDf), sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs — the shared tail of
+    * every minhash pipeline (production and oracle-portable MUST stay
+    * byte-identical here, or the portable gate stops mirroring the
+    * production path). Attaches each doc's distinct-token array with
+    * plain joins (no broadcast hint — the per-doc array table is
+    * corpus-sized at scale; AQE broadcasts it only when it fits) and
+    * counts the intersection with the fused codegen kernel
+    * ([[graft.functions.IntersectCount]]; `size(array_intersect(...))`
+    * would allocate an intermediate array per candidate pair). */
+  private def verifyCandidates(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
-    val a1 = tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1"))
-    val a2 = tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2"))
     cands
-      .join(a1, Seq("id1"))
-      .join(a2, Seq("id2"))
-      // fused codegen'd set-intersection count — the hot per-pair kernel
-      // (size(array_intersect(...)) would allocate an intermediate array
-      // per candidate pair)
+      .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
+      .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
       .withColumn("c",
         graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
       .withColumn("jaccard", col("c").cast("double")
@@ -191,27 +207,11 @@ object Dedup {
     val sigAggs = (0 until numHashes).map(i =>
       min(md5TokenHash(col("w"), i)).as(s"sig_$i"))
     val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws(",", slice: _*)).as("band_hash"))
-    }
-    val bandsDf = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val bandsDf = bandedExplode(sigs, numHashes, bands,
+        i => col(s"sig_$i"),
+        (slice, _) => md5(concat_ws(",", slice: _*)))
       .cache()
-    val cands = lshCandidates(bandsDf)
-    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
-    cands
-      .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
-      .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
-      .withColumn("c",
-        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
-      .withColumn("jaccard", col("c").cast("double")
-        / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+    verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
   /** Keep-list resolution: given near-dup pairs (id1 < id2), drop every

@@ -38,14 +38,7 @@ object IvfIndex {
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe", centroids, keep = nProbe)
     val cells = store.read(s"${name}_cells")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", Similarity.cosine(col("qe"), col("cemb")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
+    Similarity.rerankTopK(cells.join(broadcast(probes), Seq("cell")),
+      k, "qe", "cemb")
   }
 }

@@ -43,21 +43,31 @@ object Similarity {
     graft.functions.GraftFunctions.cosine(
       transform(a, _.cast("double")), transform(b, _.cast("double")))
 
+  /** Shared per-query exact-cosine re-rank: self-filter, score, keep the
+    * top k by (cosine desc, cand_id). Every search path — brute force,
+    * LSH, inline IVF, persisted IVF — ends in this SAME tail, so
+    * tie-breaking and output shape cannot drift between them (the
+    * persisted-vs-inline equivalence spec depends on that). */
+  private[operators] def rerankTopK(pairs: DataFrame, k: Int,
+      qeCol: String, ceCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    pairs
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col(qeCol), col(ceCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be small (broadcast); `candidates` can be arbitrarily
     * large. Self-matches excluded via id inequality. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
+    rerankTopK(c.crossJoin(broadcast(q)), k, "qe", "ce")
   }
 
   /** Deterministic random hyperplanes: `planes(p)(d)` in [-1, 1), seeded —
@@ -100,15 +110,8 @@ object Similarity {
         bucketId(col("embedding"), planes).as("qbucket"))
       .withColumn("probe", explode(array(probes: _*)))
       .drop("qbucket")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    cands.join(broadcast(qs), col("bucket") === col("probe"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
+    rerankTopK(cands.join(broadcast(qs), col("bucket") === col("probe")),
+      k, "qe", "ce")
   }
 
   /** Deterministic k-means(++-ish) centroids for the IVF coarse quantizer:
@@ -186,15 +189,7 @@ object Similarity {
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe", centroids, keep = nProbe)
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("cemb")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 4).as("cosine"), col("rn"))
+    rerankTopK(cells.join(broadcast(probes), Seq("cell")), k, "qe", "cemb")
   }
 
   /** Symmetric per-vector int8 quantization (the ANN-index compression

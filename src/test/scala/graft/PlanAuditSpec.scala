@@ -76,16 +76,21 @@ class PlanAuditSpec extends SparkSpec {
     * forced `broadcast()` hint would still broadcast under these settings,
     * so any BroadcastHashJoin appearing here is a scale bug. */
   private def planWithBroadcastDisabled(df: => org.apache.spark.sql.DataFrame): String = {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // save/restore each key independently: restoring the adaptive key to
+    // the STATIC key's value would pin a conf that was previously unset
+    // (unset means "follow the static threshold") and change AQE behavior
+    // for every later suite in the shared session
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(spark.conf.set(_, "-1"))
     try {
       val d = df
       d.collect()
       d.queryExecution.executedPlan.toString
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
