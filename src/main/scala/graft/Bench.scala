@@ -69,17 +69,38 @@ object Bench {
     }
     val loadEnd = loadavg()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val rr = reruns.reverse
-      .map { case (n, a, b) => "\"" + n + "\":[" + a + "," + b + "]" }
+      .map { case (n, a, b) => "\"" + n + "\":[" + r3(a) + "," + r3(b) + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val notes = "q24b_asof_native pins its shuffle partition count " +
-      "(StatefulOpClusteredDistribution) so AQE cannot coalesce at toy sf; " +
-      "at scale the single remembered-row merge beats q24's union+window " +
-      "null-padding. Compare the q24/q24b entries for the constant-factor gap."
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"notes":"$notes"}""")
+
+    // Full per-query detail goes to a file: the driver keeps only the last
+    // ~2000 chars of sbt output, and 85+ query entries overflow that — both
+    // round-1 and round-2 BENCH files came back with parsed:null because
+    // the JSON line's head was truncated. stdout gets a compact line
+    // (family subtotals + slowest queries) that fits the tail window.
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes("UTF-8"))
+
+    def family(n: String): String =
+      if (n.startsWith("q")) "relational"
+      else if (n.startsWith("etl")) "etl"
+      else n.takeWhile(_ != '_')
+    val fams = results.groupBy { case (n, _) => family(n) }.toSeq
+      .map { case (f, rs) => f -> rs.map(_._2).sum }
+      .sortBy(-_._2)
+      .map { case (f, v) => "\"" + f + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

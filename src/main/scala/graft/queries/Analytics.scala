@@ -153,13 +153,19 @@ object Analytics {
     // gate: bounded top-k (only the k-sized buffer shuffles, not the
     // group) and exact weighted mean ((sum, weight) buffer) — both
     // map-side merged like built-in aggregates. Weight is a deterministic
-    // function of user_id so the oracle reproduces it.
+    // function of user_id so the oracle reproduces it. The top-3 list is
+    // emitted as comma-joined fixed-point longs (value×10000), not an
+    // array: the driver's compare sorts rows with pandas, which cannot
+    // sort array-typed cells (round-2 gate failure).
     GQuery(
       "evt_weighted_stats",
       """SELECT event_type,
         |  round(sum(value * (1 + user_id % 3)) / sum(1 + user_id % 3), 4)
         |    AS wmean,
-        |  (list(value ORDER BY value DESC))[1:3] AS top3
+        |  array_to_string(list_transform(
+        |    (list(value ORDER BY value DESC))[1:3],
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), ',')
+        |    AS top3_s
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
@@ -171,6 +177,10 @@ object Analytics {
         .agg(
           round(wmean(col("value"), col("w")), 4).as("wmean"),
           topk(col("value")).as("top3"))
+        .withColumn("top3_s",
+          array_join(transform(col("top3"),
+            x => round(x * 10000).cast("long").cast("string")), ","))
+        .drop("top3")
         .orderBy("event_type")
     },
 

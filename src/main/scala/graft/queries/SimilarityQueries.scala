@@ -73,7 +73,10 @@ object SimilarityQueries {
     },
 
     // ---- Symmetric int8 quantization of the embedding column (4× index
-    // compression; oracle replays scale + rounding per component).
+    // compression; oracle replays scale + rounding per component). The
+    // quantized vector is emitted as a comma-joined STRING, not an array:
+    // the driver's compare sorts result rows with pandas, which cannot
+    // sort array-typed cells (round-2 gate failure).
     GQuery(
       "emb_quantize_int8",
       """WITH v AS (
@@ -84,12 +87,14 @@ object SimilarityQueries {
         |      1e-30) AS scale
         |  FROM v)
         |SELECT vec_id, round(scale, 6) + 0.0 AS scale_r,
-        |  list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qvec
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(CAST(round(x / scale) AS BIGINT) AS VARCHAR)), ',')
+        |    AS qvec_s
         |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
       graft.operators.Similarity.quantizeInt8(t(s, dir, "embeddings"))
         .select(col("vec_id"),
           (round(col("scale"), 6) + lit(0.0)).as("scale_r"),
-          col("qvec"))
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec_s"))
         .orderBy("vec_id")
     },
 

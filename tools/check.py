@@ -13,6 +13,12 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # The driver sorts result rows by all columns before hashing; replay
+    # that so locally-green means driver-green. Array-typed cells make
+    # pandas sort_values throw (round-2 failure mode) — let it propagate
+    # so the gate author sees it here first.
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=df.columns.tolist(), kind="mergesort")
     return df
 
 def cell(v):
@@ -58,8 +64,13 @@ def main(sf_dir, out_dir):
             print(f"{name:35s} ORACLE-SQL-ERROR: {e}")
             n_fail += 1
             continue
-        gc, gr = frame_rows(got)
-        ec, er = frame_rows(exp)
+        try:
+            gc, gr = frame_rows(got)
+            ec, er = frame_rows(exp)
+        except Exception as e:
+            print(f"{name:35s} UNSORTABLE (array column?): {e}")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"{name:35s} SCHEMA-MISMATCH spark={gc} duck={ec}")
             n_fail += 1
