@@ -48,14 +48,19 @@ object Bench {
     // JIT-warms the hot loops — measured times then reflect data-dependent
     // work, not first-run compilation (observed: 60s+ of first-run
     // overhead on the shuffle-heavy near-dup query without this).
+    // dev-only subset filter (the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.allQueries
+      .filter(q => only.forall(_.contains(q.name)))
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.allQueries.foreach { q =>
+    queries.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val loadStart = loadavg()
     var reruns = List.empty[(String, Double, Double)] // name, first, rerun
-    val results = SparkEntry.allQueries.map { q =>
+    val results = queries.map { q =>
       val loadAtStart = loadavg()
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -223,6 +223,49 @@ object Dedup {
     df.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Segment-level exact dedup (the C4/RefinedWeb "line dedup" pass,
+    * re-expressed over fixed-size word chunks because this corpus has no
+    * sentence delimiters): split each doc into consecutive
+    * `chunkWords`-word segments, keep only the globally-FIRST occurrence
+    * of each distinct segment text (ordered by doc id, then position),
+    * and reassemble each document from its surviving segments.
+    *
+    * Scale shape: one hash-shuffle on the segment text (the
+    * first-occurrence window) and one on doc id (reassembly) — both
+    * linear in corpus size; no pairwise comparison anywhere. The window
+    * partitions by segment text, so a segment duplicated millions of
+    * times lands in one partition — acceptable because the per-segment
+    * state is a single running row_number (no buffering); a
+    * min(struct(doc_id, seg_idx)) groupBy + self-join is the equivalent
+    * two-shuffle form if a window over a hot key ever measures as a
+    * straggler. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nSegs = ceil(size(col("toks")).cast("double") / chunkWords).cast("int")
+    val segs = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ",
+          slice(col("toks"), (i * chunkWords + 1).cast("int"), chunkWords)))))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
+    val firsts = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
+      .filter(col("rn") === 1)
+    df.select(col(idCol).as("doc_id"))
+      .join(firsts, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("seg")).as("n_kept"),
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " "),
+          lit("")).as("text_dedup"))
+  }
+
   /** SimHash over the doc's token multiset with a pluggable token hash:
     * per bit, sum +1/-1 weighted by token occurrences; bit set iff the sum
     * is positive. Computed as `bits` conditional aggregates after one
