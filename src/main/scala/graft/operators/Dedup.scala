@@ -248,7 +248,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), nSegs - 1),
         i => concat_ws(" ",
-          slice(col("toks"), (i * chunkWords + 1).cast("int"), chunkWords)))))
+          slice(col("toks"), (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
       .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
     val firsts = segs
       .withColumn("rn", row_number().over(
