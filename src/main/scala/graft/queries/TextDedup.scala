@@ -486,6 +486,45 @@ object TextDedup {
           maxHamming = 3, chunks = 4, bits = 60)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2")
+    },
+
+    // ---- Segment-level exact dedup (the C4/RefinedWeb "line dedup" pass
+    // over fixed 8-word chunks): keep only the globally-FIRST occurrence
+    // of each distinct segment (ordered by doc_id, then position) and
+    // reassemble each doc from its surviving segments. The oracle replays
+    // the same plan in DuckDB: list_slice chunking, a first-occurrence
+    // window on segment text, ordered string_agg reassembly.
+    GQuery(
+      "dedup_segments",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS seg_idx
+        |  FROM toks),
+        |segs AS (
+        |  SELECT doc_id, seg_idx,
+        |    array_to_string(
+        |      list_slice(toks, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ') AS seg
+        |  FROM idx),
+        |firsts AS (
+        |  SELECT doc_id, seg_idx, seg
+        |  FROM (SELECT doc_id, seg_idx, seg,
+        |          row_number() OVER (PARTITION BY seg
+        |            ORDER BY doc_id, seg_idx) AS rn
+        |        FROM segs)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  count(f.seg) AS n_kept,
+        |  coalesce(string_agg(f.seg, ' ' ORDER BY f.seg_idx), '') AS text_dedup
+        |FROM documents d
+        |LEFT JOIN firsts f ON f.doc_id = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
     }
   )
 

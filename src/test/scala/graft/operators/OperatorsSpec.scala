@@ -298,4 +298,33 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() > 5)
     assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame_bytes"))
   }
+
+  test("segmentDedup keeps only the first-seen occurrence of each chunk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // k=3 segments: "a b c", "d e f" — both fresh
+      (2L, "a b c x y z"),   // "a b c" already seen in doc 1 -> only "x y z"
+      (3L, "d e f a b c"),   // both segments seen -> fully deduped, empty
+      (4L, "a b c g")        // short tail segment "g" survives alone
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out === Seq(
+      (1L, 2L, "a b c d e f"),
+      (2L, 1L, "x y z"),
+      (3L, 0L, ""),
+      (4L, 1L, "g")))
+  }
+
+  test("segmentDedup on the real corpus: output tokens never exceed input") {
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", chunkWords = 8)
+    val shrunk = out
+      .join(docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_in")),
+        Seq("doc_id"))
+      .filter(size(split(col("text_dedup"), "\\s+")) > col("n_in"))
+      .count()
+    assert(shrunk === 0)
+    assert(out.count() === docs.count(), "one output row per input doc")
+  }
 }
