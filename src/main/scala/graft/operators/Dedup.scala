@@ -375,6 +375,20 @@ object Dedup {
       chunks: Int = 4, bits: Int = 64): DataFrame = {
     require(maxHamming < chunks,
       s"pigeonhole completeness needs maxHamming < chunks ($maxHamming >= $chunks)")
+    simhashCandidates(signatures, chunks, bits)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Candidate pairs sharing at least one signature chunk, with their true
+    * Hamming distance — the pre-filter stage of [[simhashNearDups]],
+    * exposed so specs can measure the chunking selectivity trade-off:
+    * fewer/wider chunks (4×16) give 2^16 buckets per position and a small
+    * candidate set but only guarantee d<4; more/narrower chunks (8×8) are
+    * complete to d<8 at the cost of 2^8 buckets, i.e. MORE candidates.
+    * Pick the narrowest chunking whose guarantee covers the target
+    * distance. */
+  def simhashCandidates(signatures: DataFrame,
+      chunks: Int = 4, bits: Int = 64): DataFrame = {
     require(bits % chunks == 0, s"chunks ($chunks) must divide bits ($bits)")
     val width = bits / chunks
     val mask = (1L << width) - 1
@@ -393,6 +407,5 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

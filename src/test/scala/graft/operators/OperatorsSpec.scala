@@ -163,6 +163,22 @@ class OperatorsSpec extends SparkSpec {
     assert(p4.nonEmpty, "corpus has near-dup twins; expected pairs")
   }
 
+  test("simhash chunking selectivity: wider chunks generate fewer candidates") {
+    // The scale knob, measured: 4×16 hashes each position into 2^16
+    // buckets, 8×8 into only 2^8, so the narrower chunking pays a larger
+    // candidate set for its stronger d<8 completeness guarantee. Recall
+    // parity at d<=3 is asserted in the test above; here we pin the cost
+    // side so a future "more chunks is free" change trips an assertion.
+    val sigs = Dedup.simhash64(docs, "doc_id", "text").cache()
+    try {
+      val c4 = Dedup.simhashCandidates(sigs, chunks = 4).count()
+      val c8 = Dedup.simhashCandidates(sigs, chunks = 8).count()
+      assert(c4 <= c8,
+        s"4x16 candidates ($c4) must not exceed 8x8 candidates ($c8)")
+      assert(c8 > 0)
+    } finally sigs.unpersist()
+  }
+
   test("simhash pigeonhole: rejects maxHamming >= chunks (incomplete)") {
     val sigs = Dedup.simhash64(docs.limit(5), "doc_id", "text")
     intercept[IllegalArgumentException] {
