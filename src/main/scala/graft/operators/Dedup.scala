@@ -72,6 +72,27 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** All-pairs one-sided containment |A∩B| / |A| over a token/shingle set
+    * frame — catches SUB-document duplication (boilerplate wrappers, full
+    * quotation) that symmetric Jaccard dilutes: a 50-word doc embedded in
+    * a 5000-word doc has Jaccard ≈ 0.01 but containment 1.0 from the small
+    * side. Emits one row per ordered (id, other) direction with id's
+    * coverage. Quadratic verifier like [[jaccardPairs]] — scope the input;
+    * the scale path reuses the same LSH banding for candidates. */
+  def containmentPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id"), col("b.doc_id").as("other"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id", "n" -> "n_id")), Seq("id"))
+      .withColumn("containment", col("c").cast("double") / col("n_id").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id"), col("other"), round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash signatures: numHashes permutations simulated as seeded
     * xxhash64(token, seed=i); sig_i = min over the doc's tokens. One
     * explode + one groupBy — O(tokens), map-side combined. */

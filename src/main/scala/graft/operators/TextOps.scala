@@ -117,4 +117,72 @@ object TextOps {
         .otherwise(acc)
     }
   }
+
+  /** Per-doc bigram occurrences (doc_id, w1, w2) — NOT distinct: language
+    * modeling counts token occurrences, unlike the set semantics of
+    * [[graft.operators.Dedup.tokenSet]]. Docs with fewer than two tokens
+    * contribute no rows. */
+  private def bigramOccurrences(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), (i + 1).cast("int")).as("w2")))).as("bg"))
+      .filter(col("bg.w2").isNotNull) // drops the len<2 sentinel index
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Self-trained bigram-LM quality score — the KenLM-perplexity filter
+    * pattern with the corpus itself as the model. Add-one-smoothed
+    * conditional logprob averaged over the doc's bigrams:
+    *
+    *   score(d) = avg over (w1,w2) in d of ln((C(w1,w2)+1) / (C(w1)+V))
+    *
+    * where C counts bigram occurrences corpus-wide, C(w1) counts w1 as a
+    * bigram context, and V is the corpus vocabulary size. Near-zero (less
+    * negative) = stereotypical text; strongly negative = rare/garbled —
+    * filter both tails for pretraining curation.
+    *
+    * Scale shape: two corpus-wide count aggregations plus hash joins of
+    * the doc bigrams against them — all linear, shuffled on the bigram /
+    * context keys; no corpus-scale state is ever broadcast (V is a 1-row
+    * cross join, the scalar-subquery pattern). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = bigramOccurrences(df, idCol, textCol)
+    val bigramCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val contextCounts = big.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("w")).distinct()
+      .agg(count(lit(1)).as("vs"))
+    val scored = big
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .crossJoin(vocab) // 1 row — scalar-subquery pattern
+      .select(col("doc_id"),
+        log((col("cnt") + lit(1.0)) / (col("ctx") + col("vs"))).as("lp"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("lp")).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("lm_score"))
+  }
+
+  /** Per-(doc, term) TF-IDF over raw token occurrences: tf = term count in
+    * the doc, idf = ln(N / df) with df = number of docs containing the
+    * term (no smoothing — every scored term occurs somewhere, so df >= 1).
+    * Corpus-wide terms score exactly 0. Emits the full matrix; rank/top-k
+    * per doc downstream with a window if needed. One shuffle for tf, one
+    * for df, a hash join on the term — linear end to end. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(nDocs) // 1 row — scalar-subquery pattern
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
 }

@@ -525,6 +525,90 @@ object TextDedup {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")
+    },
+
+    // ---- One-sided containment dedup: |A∩B|/|A| catches sub-document
+    // duplication (a small doc fully embedded in a big one) that
+    // symmetric Jaccard dilutes. Scoped all-pairs verifier like the
+    // jaccard gates; the LSH banding machinery supplies candidates at
+    // scale.
+    GQuery(
+      "dedup_containment",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS other, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.id, i.other,
+        |  round(CAST(i.c AS DOUBLE) / s.n, 4) AS containment
+        |FROM inter i JOIN sz s ON s.doc_id = i.id
+        |WHERE CAST(i.c AS DOUBLE) / s.n >= 0.8
+        |ORDER BY id, other""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(
+          Dedup.tokenSet(
+            t(s, dir, "documents").filter(col("doc_id") < 100),
+            "doc_id", "text"),
+          threshold = 0.8)
+        .orderBy("id", "other")
+    },
+
+    // ---- Self-trained bigram-LM quality score (KenLM-perplexity filter
+    // pattern): add-one-smoothed conditional logprob averaged per doc.
+    // The oracle rebuilds corpus bigram/context counts and the vocab
+    // scalar, then replays the same ln() fold — avg order differences
+    // vanish under round(4).
+    GQuery(
+      "txt_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2),
+        |cc AS (SELECT w1, count(*) AS ctx FROM big GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(t) AS w FROM toks)),
+        |scored AS (
+        |  SELECT b.doc_id, ln((cb.cnt + 1.0) / (cc.ctx + v.vs)) AS lp
+        |  FROM big b
+        |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  JOIN cc ON b.w1 = cc.w1
+        |  CROSS JOIN v)
+        |SELECT d.doc_id, CAST(count(s.lp) AS BIGINT) AS n_bigrams,
+        |  round(avg(s.lp), 4) AS lm_score
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- Per-(doc, term) TF-IDF matrix: tf over raw occurrences, idf =
+    // ln(N/df), corpus-wide terms score exactly 0 (ln of an exact 1.0 —
+    // bit-stable in both engines).
+    GQuery(
+      "txt_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4) AS tfidf
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      TextOps.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "term")
     }
   )
 

@@ -132,6 +132,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_cosine_topk", "sim_ann_ivf", "dedup_embedding_cosine",
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
+      "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
       "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))

@@ -315,6 +315,58 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame_bytes"))
   }
 
+  test("containment: embedded doc scores 1.0 from the small side only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),                       // subset of doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(
+        Dedup.tokenSet(df, "doc_id", "text"), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 1 is fully contained in doc 2; the reverse direction is 3/10
+    // and doc 3 shares nothing — both below threshold
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
+  test("lmScore: verbatim duplicates tie; stereotyped text beats shuffled") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),  // exact dup of 1 -> identical score
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the")   // same tokens, unseen transitions
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.lmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).forall(_ === 5L), "5 bigrams per 6-token doc")
+    assert(rows(0)._3 === rows(1)._3 && rows(1)._3 === rows(2)._3)
+    // the common phrasing is higher-probability than the scrambled one
+    assert(rows(0)._3 > rows(3)._3,
+      s"expected stereotyped ${rows(0)._3} > shuffled ${rows(3)._3}")
+  }
+
+  test("tfidf: corpus-wide terms score 0; rarer terms rank higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.tfidf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // "common" appears in all 3 docs -> idf = ln(1) = exactly 0
+    assert(rows.filter(_._2 == "common").forall(_._4 === 0.0))
+    // each rareN is unique to its doc: tfidf = 1 * ln(3) ~ 1.0986
+    val rare = rows.filter(_._2.startsWith("rare"))
+    assert(rare.size === 3 && rare.forall(_._4 === 1.0986))
+    // doubled tf doubles the score contribution (tf=2 for doc 1 "common")
+    assert(rows.find(r => r._1 == 1L && r._2 == "common").get._3 === 2L)
+  }
+
   test("segmentDedup keeps only the first-seen occurrence of each chunk") {
     import spark.implicits._
     val df = Seq(
