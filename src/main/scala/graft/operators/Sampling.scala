@@ -24,6 +24,16 @@ object Sampling {
   def uniform(key: Column): Column =
     hash60(key).cast("double") / lit((1L << 60).toDouble)
 
+  /** Deterministic global training-order shuffle key: a salted portable
+    * content hash to sort by. Reproducible across runs, engines, and
+    * cluster sizes (unlike orderBy(rand())), and re-keyable per epoch. At
+    * scale, materialize with repartitionByRange(shuffle_key) +
+    * sortWithinPartitions — one range-partitioned sort, never a global
+    * single-partition window. */
+  def shuffleKey(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+      hash60(concat_ws("|", lit("shuf"), lit(epoch), col(keyCol))))
+
   /** Leakage-safe train/test split: the split is keyed on CONTENT, so
     * exact duplicates always land on the same side (an id-keyed split
     * leaks dup text across the boundary). Returns df + `split` column. */

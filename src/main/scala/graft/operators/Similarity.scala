@@ -177,6 +177,24 @@ object Similarity {
       .select(col(idCol), col(embCol), col("centroid_id").as("cell"))
   }
 
+  /** Nearest-centroid cluster assignment WITH the winning score — the
+    * k-means E-step / corpus-partitioning primitive ("cluster the corpus,
+    * then balance sources per cluster"), oracle-able whenever the centroid
+    * frame is deterministic. Same window tail as [[assignCells]]; the
+    * centroid set is bounded (numCentroids rows), so the broadcast is
+    * scale-safe by construction. */
+  def clusterAssign(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col(embCol), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col("centroid_id").as("cluster"),
+        round(col("ccos"), 4).as("cos"))
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame = {
     val centroids = kmeansCentroids(

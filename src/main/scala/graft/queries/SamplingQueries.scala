@@ -35,6 +35,21 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Deterministic global training-order shuffle: salted portable
+    // hash as the sort key — reproducible across runs/engines/cluster
+    // sizes, re-keyable per epoch (epoch 0 here).
+    GQuery(
+      "smp_shuffle",
+      """SELECT doc_id,
+        |  ('0x' || substring(md5('shuf|0|' || doc_id), 1, 15))::BIGINT
+        |    AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin) { (s, dir) =>
+      Sampling.shuffleKey(t(s, dir, "documents"), "doc_id", epoch = 0)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+    },
+
     // ---- Deterministic stratified sampling (source mixing): per-language
     // keep fractions, decision a pure function of (stratum, key).
     GQuery(

@@ -117,6 +117,35 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ---- Nearest-centroid cluster assignment (corpus partitioning /
+    // k-means E-step) with a DETERMINISTIC centroid frame (the 8
+    // lowest-id vectors), so the whole assignment — cosine scores
+    // included — is oracle-checkable; the Lloyd-refined production path
+    // reuses the same window tail (sim_ann_ivf, rows-only + recall spec).
+    GQuery(
+      "emb_cluster_assign",
+      """WITH c AS (SELECT vec_id AS centroid_id,
+        |             CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings),
+        |s AS (SELECT v.vec_id, c.centroid_id,
+        |        list_cosine_similarity(e, ce) AS ccos
+        |      FROM v CROSS JOIN c),
+        |r AS (SELECT vec_id, centroid_id, ccos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY ccos DESC, centroid_id) AS rn
+        |      FROM s)
+        |SELECT vec_id, centroid_id AS cluster, round(ccos, 4) AS cos
+        |FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+      Similarity.clusterAssign(emb, "vec_id", "embedding", centroids)
+        .orderBy("vec_id")
+    },
+
     // ---- Per-label centroid statistics (grouped agg over vectors).
     GQuery(
       "emb_label_stats",

@@ -130,6 +130,7 @@ class PlanAuditSpec extends SparkSpec {
     // pattern — a 1-row broadcast build side costs nothing at any scale).
     val intentional = Set(
       "sim_cosine_topk", "sim_ann_ivf", "dedup_embedding_cosine",
+      "emb_cluster_assign", // bounded (8-row) centroid cross join
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins

@@ -367,6 +367,33 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.find(r => r._1 == 1L && r._2 == "common").get._3 === 2L)
   }
 
+  test("clusterAssign: centroids self-assign at cos 1.0; assignment total") {
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val assigned = Similarity.clusterAssign(emb, "vec_id", "embedding", centroids)
+    val rows = assigned.collect()
+    assert(rows.length === emb.count(), "every vector gets exactly one cluster")
+    val self = rows.filter(_.getLong(0) < 8)
+    assert(self.forall(r => r.getLong(1) === r.getLong(0) && r.getDouble(2) === 1.0),
+      "a centroid's nearest centroid is itself")
+    assert(rows.forall(_.getLong(1) < 8))
+  }
+
+  test("shuffleKey: deterministic per epoch, different across epochs") {
+    val e0 = Sampling.shuffleKey(docs, "doc_id", epoch = 0)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e0again = Sampling.shuffleKey(docs, "doc_id", epoch = 0)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e1 = Sampling.shuffleKey(docs, "doc_id", epoch = 1)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(e0 === e0again, "same epoch must reproduce the same order")
+    assert(e0 !== e1, "epochs must permute differently")
+    assert(e0.values.toSet.size === e0.size, "keys collision-free at this scale")
+  }
+
   test("segmentDedup keeps only the first-seen occurrence of each chunk") {
     import spark.implicits._
     val df = Seq(
