@@ -147,6 +147,26 @@ class PlanAuditSpec extends SparkSpec {
       "queries planning nested-loop joins:\n" + offenders.mkString("\n"))
   }
 
+  test("new text ops prune the documents scan to (doc_id, text)") {
+    // lang/n_chars etc. must never reach the scan: at 100 TB an unpruned
+    // wide read dominates the job cost
+    Seq("txt_tfidf", "txt_lm_score", "dedup_segments").foreach { name =>
+      val plan = physicalPlan(name)
+      assert(!plan.contains("n_chars") && !plan.contains("quality_bucket"),
+        s"$name reads unneeded document columns:\n" + plan.take(2000))
+    }
+  }
+
+  test("dedup_segments: first-occurrence window partitions by segment text") {
+    // the window must hash-partition on seg (linear shuffle), never a
+    // global single-partition sort
+    val plan = physicalPlan("dedup_segments")
+    assert(plan.contains("hashpartitioning(seg"),
+      "segment window must shuffle on the segment key:\n" + plan.take(3000))
+    assert(!plan.contains("SinglePartition"),
+      "no stage may collapse to a single partition:\n" + plan.take(3000))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
