@@ -89,7 +89,9 @@ object Bench {
     // (family subtotals + slowest queries) that fits the tail window.
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    // filtered dev runs must never clobber the full-surface artifact
+    val fullPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_DEV.json" else "BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -105,7 +107,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"full":"${fullPath.getFileName}"}""")
     spark.stop()
   }
 }

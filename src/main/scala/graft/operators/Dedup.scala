@@ -98,7 +98,8 @@ object Dedup {
     * explode + one groupBy — O(tokens), map-side combined. */
   def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("w"), lit(i))).as(s"sig_$i"))
+      min(xxhash64(col("w"), lit(i))).as(s"sig_$i")) :+
+      count(lit(1)).as("n_toks")
     sets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -109,7 +110,8 @@ object Dedup {
     * [[minhashSignatures]] (spec-asserted). */
   def minhashSignaturesAgg(sets: DataFrame, numHashes: Int): DataFrame =
     sets.groupBy("doc_id")
-      .agg(graft.functions.GraftFunctions.minhash(col("w"), numHashes).as("sig"))
+      .agg(graft.functions.GraftFunctions.minhash(col("w"), numHashes).as("sig"),
+        count(lit(1)).as("n_toks"))
 
   /** One (band_idx, band_hash) struct per band: the single banding
     * construction shared by every LSH variant — `sigCol` abstracts where
@@ -124,8 +126,13 @@ object Dedup {
       val slice = (0 until rows).map(r => sigCol(b * rows + r))
       struct(lit(b).as("band_idx"), bandHash(slice, b).as("band_hash"))
     }
-    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    // n_toks rides along so candidate pairs emerge with both set sizes
+    // attached for free (the length-filter prune needs them BEFORE the
+    // wide token-array joins)
+    signatures.select(col("doc_id"), col("n_toks"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("n_toks"),
+        col("band.band_idx"), col("band.band_hash"))
   }
 
   private def xxBandHash(slice: Seq[Column], b: Int): Column =
@@ -144,14 +151,17 @@ object Dedup {
     bandedExplode(signatures, numHashes, bands,
       i => col(s"sig_$i"), xxBandHash)
 
-  /** Candidate pairs from LSH banding (distinct on the pair). */
+  /** Candidate pairs from LSH banding (distinct on the pair), with both
+    * set sizes attached (n is functionally dependent on the id, so the
+    * distinct's cardinality is unchanged). */
   def lshCandidates(bandsDf: DataFrame): DataFrame =
     bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
       .distinct()
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
@@ -195,6 +205,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
     cands
+      // Length filter (PPJoin/AllPairs-style prune): J(A,B) >= t implies
+      // min(|A|,|B|) / max(|A|,|B|) >= t, so size-mismatched candidates
+      // can be dropped from the narrow (id, id, n, n) frame BEFORE the
+      // two wide token-array joins ship arrays for them. Provably
+      // output-preserving — the oracle needs no length clause.
+      .filter(least(col("n1"), col("n2")).cast("double")
+        >= lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+      .drop("n1", "n2")
       .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
       .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
       .withColumn("c",
@@ -226,7 +244,8 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val sets = tokenSet(df, idCol, textCol)
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5TokenHash(col("w"), i)).as(s"sig_$i"))
+      min(md5TokenHash(col("w"), i)).as(s"sig_$i")) :+
+      count(lit(1)).as("n_toks")
     val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandsDf = bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
