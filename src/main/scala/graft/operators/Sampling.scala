@@ -55,29 +55,23 @@ object Sampling {
 
   /** Token-budget shard: rows in `orderCol` order until the running token
     * total exceeds `budget` (the "build a shard of N tokens" primitive).
-    * The cumulative sum is a window over the global order — at corpus
-    * scale, order by a partition-friendly key (date, bucket) so ranges
-    * parallelize; the semantics here are the deterministic reference. */
+    * The global running sum runs in [[TotalOrder.globalCumSum]]'s two-pass
+    * range-partition + prefix-offset form — never a single-partition
+    * window, so the plan survives corpus scale. */
   def tokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
-      budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      budget: Long): DataFrame =
+    TotalOrder.globalCumSum(df, orderCol, tokenCol, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
-  }
 
   /** Shard the WHOLE corpus into consecutive ~`budget`-token chunks (the
     * generalization of [[tokenBudget]] from "first shard" to "all
     * shards"): shard_id = floor of the preceding-rows token total over the
     * budget, so a shard never starts past the boundary and every doc gets
-    * exactly one shard. Deterministic given the total order. */
+    * exactly one shard. Deterministic given the total order; same
+    * scale-safe [[TotalOrder]] dataflow as [[tokenBudget]]. */
   def tokenShards(df: DataFrame, orderCol: String, tokenCol: String,
-      budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("shard_id",
-      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
-  }
+      budget: Long): DataFrame =
+    TotalOrder.globalCumSum(df, orderCol, tokenCol, "cum_prev", inclusive = false)
+      .withColumn("shard_id", floor(col("cum_prev") / budget))
+      .drop("cum_prev")
 }

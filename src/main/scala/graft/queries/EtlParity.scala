@@ -122,9 +122,11 @@ object EtlParity {
 
     // ---- T14 [EXT]: deterministic surrogate-key generation. The
     // reference delegates to warehouse SERIAL (and disables its own
-    // range(); transform.py:169); the engine-side alternative is
-    // row_number over an explicit total order — deterministic, unlike
-    // monotonically_increasing_id, and reproducible by the oracle.
+    // range(); transform.py:169); the engine-side alternative is a global
+    // row number over an explicit total order — deterministic, unlike
+    // monotonically_increasing_id, and reproducible by the oracle. The
+    // Spark side runs TotalOrder's two-pass range-partition form, never
+    // the oracle's literal single-partition OVER (ORDER BY ...) window.
     GQuery(
       "etl_surrogate_keys",
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
@@ -132,10 +134,10 @@ object EtlParity {
         |  o_orderkey, o_custkey
         |FROM orders
         |ORDER BY order_sk LIMIT 100""".stripMargin) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(row_number().over(w).cast("long").as("order_sk"),
-          col("o_orderkey"), col("o_custkey"))
+      graft.operators.TotalOrder.globalRowNumber(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          "o_orderkey", "order_sk")
+        .select(col("order_sk"), col("o_orderkey"), col("o_custkey"))
         .orderBy("order_sk").limit(100)
     },
 

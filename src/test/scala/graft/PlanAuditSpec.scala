@@ -134,7 +134,11 @@ class PlanAuditSpec extends SparkSpec {
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
-      "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
+      "dedup_edit_distance", // scoped all-pairs verifier (doc_id < 80)
+      // TotalOrder's triangular prefix-offset join: both sides are the
+      // per-partition totals frame (<= spark.sql.shuffle.partitions rows
+      // at ANY data scale) — metadata-sized by construction
+      "etl_surrogate_keys", "smp_token_budget", "smp_token_shards")
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
@@ -165,6 +169,24 @@ class PlanAuditSpec extends SparkSpec {
       "segment window must shuffle on the segment key:\n" + plan.take(3000))
     assert(!plan.contains("SinglePartition"),
       "no stage may collapse to a single partition:\n" + plan.take(3000))
+  }
+
+  test("gate-wide audit: no single-partition window in any gate plan") {
+    // Window.orderBy with no partition spec moves ALL rows to one
+    // partition — the round-4 scale defect in etl_surrogate_keys /
+    // smp_token_budget / smp_token_shards, now rewritten onto
+    // TotalOrder's two-pass range-partition form. This sweep pins every
+    // current and future gate to partitioned windows only.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val lp = q.run(spark, dir).queryExecution.optimizedPlan
+      val n = lp.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(s"${q.name}: $n unpartitioned window(s)") else None
+    }
+    assert(offenders.isEmpty,
+      "queries planning single-partition windows:\n" + offenders.mkString("\n"))
   }
 
   test("transform stage: dim builders prune source scans to used columns") {
