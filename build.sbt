@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST
+// stdout line as JSON. sbt's default LoggedOutput strategy prefixes every
+// forked-process line with "[info] " and appends a "[success] Total
+// time..." line — both of which broke the driver's parse four rounds
+// running. StdoutOutput passes the forked JVM's stdout/stderr through
+// verbatim; showSuccess drops the trailing success line, so the bench's
+// compact JSON really is the final line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

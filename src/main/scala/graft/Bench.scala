@@ -107,7 +107,14 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // Print the compact line AFTER spark.stop() so it is the final stdout
+    // line of the whole JVM — the driver parses the last line as JSON.
+    // Log level drops to ERROR first so shutdown WARNs can't land after
+    // it; build.sbt forks run with StdoutOutput + showSuccess := false so
+    // sbt adds no prefix and no trailing "[success]" line.
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"full":"${fullPath.getFileName}"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

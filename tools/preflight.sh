@@ -27,6 +27,23 @@ if [[ "$mode" == "--gate" ]]; then
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out" < /dev/null
   echo "[preflight] check.py"
   python3 tools/check.py /root/testdata/sf0.001 "$out"
+
+  # Replicate the driver's bench parse: capture sbt's combined output and
+  # json-parse the LAST non-empty line. Subset + sf0.001 keeps it fast;
+  # the parse contract (undecorated final JSON line) is sf-independent.
+  echo "[preflight] bench line parse smoke"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+    SPARK_GRAFT_ONLY=q01_pricing_summary,txt_quality \
+    sbt -batch "runMain graft.Bench" < /dev/null 2>&1 \
+    | tee /tmp/preflight_bench.out >/dev/null
+  python3 - <<'EOF'
+import json
+lines = [l.strip() for l in open("/tmp/preflight_bench.out") if l.strip()]
+last = lines[-1]
+d = json.loads(last)  # raises (non-zero exit) if the driver couldn't parse it
+assert d.get("metric") == "total" and d.get("n_queries", 0) > 0, d
+print("[preflight] bench line parses:", {k: d[k] for k in ("metric", "value", "n_queries")})
+EOF
 fi
 
 echo "[preflight] OK"
