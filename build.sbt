@@ -20,6 +20,9 @@ run / fork := true
 // compact JSON really is the final line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

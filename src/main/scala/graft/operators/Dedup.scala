@@ -77,8 +77,13 @@ object Dedup {
     * quotation) that symmetric Jaccard dilutes: a 50-word doc embedded in
     * a 5000-word doc has Jaccard ≈ 0.01 but containment 1.0 from the small
     * side. Emits one row per ordered (id, other) direction with id's
-    * coverage. Quadratic verifier like [[jaccardPairs]] — scope the input;
-    * the scale path reuses the same LSH banding for candidates. */
+    * coverage. Quadratic verifier like [[jaccardPairs]] — scope the input.
+    * NOTE the scale path is [[containmentPairsPrefix]], NOT MinHash-LSH
+    * banding: band-collision probability is a function of symmetric
+    * Jaccard, so the high-containment/low-Jaccard pairs this operator
+    * exists for would almost never collide in Jaccard-tuned bands —
+    * containment needs an asymmetric candidate scheme (prefix filtering on
+    * the contained side). */
   def containmentPairs(sets: DataFrame, threshold: Double): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
@@ -89,6 +94,62 @@ object Dedup {
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "id", "n" -> "n_id")), Seq("id"))
       .withColumn("containment", col("c").cast("double") / col("n_id").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id"), col("other"), round(col("containment"), 4).as("containment"))
+  }
+
+  /** One-sided containment at scale: prefix-filter candidate generation
+    * (AllPairs/PPJoin family) + exact verification. Output is IDENTICAL to
+    * [[containmentPairs]] — prefix filtering is exact (no probabilistic
+    * miss), so the all-pairs SQL remains a valid oracle — but candidate
+    * generation is an equi-join on rare tokens instead of an all-pairs
+    * token join.
+    *
+    * Completeness: containment(A⊆B) = |A∩B|/|A| >= t needs an overlap of
+    * at least ceil(t·|A|) tokens, so at most |A| − ceil(t·|A|) tokens of A
+    * can miss B. Order A's tokens canonically (ascending document
+    * frequency, then token); if none of A's first |A| − ceil(t·|A|) + 1
+    * tokens (its PREFIX) were in B, too many tokens would be missing.
+    * Joining A-prefixes against EVERY token of the other side therefore
+    * surfaces every qualifying ordered pair. The prefix carries each doc's
+    * RAREST tokens, which is what makes the candidate equi-join selective;
+    * a 1e-9 slack on the ceil keeps float rounding from shortening a
+    * prefix below the sound length (extra candidates are harmless — the
+    * verifier filters).
+    *
+    * Scale shape: document frequencies and per-doc sizes are linear aggs;
+    * ranking is a window PARTITIONED by doc; candidates come from one
+    * token equi-join (prefix side ≈ (1−t)·|tokens| rows); verification
+    * prunes with the ASYMMETRIC length bound |B| >= t·|A| (|A∩B| <= |B|,
+    * so smaller `other` sides can't reach the threshold — the symmetric
+    * Jaccard size-ratio bound does not apply to containment), then counts
+    * the intersection with the codegen kernel per surviving pair. */
+  def containmentPairsPrefix(sets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val docFreq = sets.groupBy("w").agg(count(lit(1)).as("tok_df"))
+    val full = sets.join(sizes, Seq("doc_id"))
+    val prefixes = full.join(docFreq, Seq("w"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tok_df"), col("w"))))
+      .filter(col("rnk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1))
+    val cands = prefixes.as("a")
+      .join(full.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id"), col("b.doc_id").as("other"),
+        col("a.n").as("n_id"), col("b.n").as("n_other"))
+      .distinct()
+    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    cands
+      .filter(col("n_other").cast("double")
+        >= lit(threshold) * col("n_id").cast("double"))
+      .drop("n_id", "n_other")
+      .join(tokArr.select(col("doc_id").as("id"), col("toks").as("toks_a")), Seq("id"))
+      .join(tokArr.select(col("doc_id").as("other"), col("toks").as("toks_b")), Seq("other"))
+      .withColumn("c",
+        graft.functions.GraftFunctions.intersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("containment", col("c").cast("double") / size(col("toks_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id"), col("other"), round(col("containment"), 4).as("containment"))
   }
@@ -138,7 +199,11 @@ object Dedup {
   private def xxBandHash(slice: Seq[Column], b: Int): Column =
     xxhash64(slice :+ lit(b): _*)
 
-  /** LSH banding over an array<long> signature column. */
+  /** LSH banding over an array<long> signature column. The signature
+    * frame MUST also carry an `n_toks` set-size column (as produced by
+    * [[minhashSignaturesAgg]]) — it rides along into the candidate pairs
+    * so the length-filter prune can run before the wide token-array
+    * joins; a caller-built frame without it fails to resolve. */
   def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bandedExplode(signatures, numHashes, bands,
       i => element_at(col("sig"), i + 1), xxBandHash)
@@ -146,7 +211,9 @@ object Dedup {
   /** LSH banding over minhash signatures: split the signature into
     * `bands` groups of rows, hash each band, and emit (doc_id, band_idx,
     * band_hash) — docs sharing any (band_idx, band_hash) are candidates.
-    * Probability a pair with Jaccard s collides: 1-(1-s^r)^b. */
+    * Probability a pair with Jaccard s collides: 1-(1-s^r)^b. Like
+    * [[lshBandsFromSig]], requires an `n_toks` column on the signature
+    * frame ([[minhashSignatures]] produces it). */
   def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bandedExplode(signatures, numHashes, bands,
       i => col(s"sig_$i"), xxBandHash)
@@ -183,12 +250,18 @@ object Dedup {
     val sets =
       if (shingleN <= 1) tokenSet(df, idCol, textCol)
       else shingleSet(df, idCol, textCol, shingleN)
-    // cache the band frame: it feeds BOTH sides of the candidate self-join,
-    // and without materialization the whole tokenize→minhash→band pipeline
-    // executes twice (exchange reuse does not survive the self-join aliases)
+    // materialize the band frame: it feeds BOTH sides of the candidate
+    // self-join, and without materialization the whole tokenize→minhash→
+    // band pipeline executes twice (exchange reuse does not survive the
+    // self-join aliases). A lazy localCheckpoint — not .cache() — because
+    // CacheManager entries outlive the query and accumulate across
+    // invocations in a long-lived session (the round-4 "already cached"
+    // leak); checkpoint blocks are freed by the ContextCleaner as soon as
+    // the frame is unreachable, and the truncated lineage is recomputable
+    // state we explicitly accept (as in connectedComponents / kmeans).
     val bandsDf = lshBandsFromSig(
         minhashSignaturesAgg(sets, numHashes), numHashes, bands)
-      .cache()
+      .localCheckpoint(eager = false)
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
@@ -247,10 +320,12 @@ object Dedup {
       min(md5TokenHash(col("w"), i)).as(s"sig_$i")) :+
       count(lit(1)).as("n_toks")
     val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // lazy localCheckpoint, not .cache() — same rationale as
+    // [[minhashNearDups]]: one computation per job, no CacheManager leak
     val bandsDf = bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
         (slice, _) => md5(concat_ws(",", slice: _*)))
-      .cache()
+      .localCheckpoint(eager = false)
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 

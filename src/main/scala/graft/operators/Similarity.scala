@@ -192,7 +192,10 @@ object Similarity {
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
       .select(col(idCol), col("centroid_id").as("cluster"),
-        round(col("ccos"), 4).as("cos"))
+        // + 0.0 normalizes a rounded -0.0 to 0.0 so the rendered value
+        // matches engines that print the two differently (round-1 pitfall;
+        // same pattern as every other rounded-double similarity output)
+        (round(col("ccos"), 4) + lit(0.0)).as("cos"))
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,

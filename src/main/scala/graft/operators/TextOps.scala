@@ -110,12 +110,13 @@ object TextOps {
       case (lang, words) =>
         lang -> size(filter(toks, t => t.isInCollection(words))).cast("double")
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      // first (alphabetical) argmax wins, matching a stable tie-break
-      when(score === best && score > 0 && acc === "und", lit(lang))
-        .otherwise(acc)
-    }
+    // struct-argmax with a strict > comparison: scanning in alphabetical
+    // lang order, a later lang only displaces the incumbent when its score
+    // is strictly higher, so the first (alphabetical) argmax wins ties
+    val best = scores.map { case (lang, s) =>
+      struct(s.as("s"), lit(lang).as("l"))
+    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
   /** Per-doc bigram occurrences (doc_id, w1, w2) — NOT distinct: language

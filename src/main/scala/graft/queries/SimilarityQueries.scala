@@ -136,7 +136,7 @@ object SimilarityQueries {
         |        row_number() OVER (PARTITION BY vec_id
         |          ORDER BY ccos DESC, centroid_id) AS rn
         |      FROM s)
-        |SELECT vec_id, centroid_id AS cluster, round(ccos, 4) AS cos
+        |SELECT vec_id, centroid_id AS cluster, round(ccos, 4) + 0.0 AS cos
         |FROM r WHERE rn = 1
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")

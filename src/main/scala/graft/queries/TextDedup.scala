@@ -556,6 +556,37 @@ object TextDedup {
         .orderBy("id", "other")
     },
 
+    // ---- Containment at scale: prefix-filter candidates (AllPairs/
+    // PPJoin family — the asymmetric scheme containment needs; Jaccard-
+    // tuned LSH banding would miss high-containment/low-Jaccard pairs)
+    // + exact verification. Prefix filtering is exact, so the all-pairs
+    // SQL stays a valid oracle — a hash match proves the prefix join
+    // surfaced EXACTLY the qualifying pairs on a wider scope than the
+    // quadratic verifier gate above.
+    GQuery(
+      "dedup_containment_prefix",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 250),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS other, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.id, i.other,
+        |  round(CAST(i.c AS DOUBLE) / s.n, 4) AS containment
+        |FROM inter i JOIN sz s ON s.doc_id = i.id
+        |WHERE CAST(i.c AS DOUBLE) / s.n >= 0.8
+        |ORDER BY id, other""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairsPrefix(
+          Dedup.tokenSet(
+            t(s, dir, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text"),
+          threshold = 0.8)
+        .orderBy("id", "other")
+    },
+
     // ---- Self-trained bigram-LM quality score (KenLM-perplexity filter
     // pattern): add-one-smoothed conditional logprob averaged per doc.
     // The oracle rebuilds corpus bigram/context counts and the vocab

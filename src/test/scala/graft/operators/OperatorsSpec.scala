@@ -330,6 +330,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 1.0)))
   }
 
+  test("containment prefix-filter path equals the all-pairs verifier") {
+    // the minhash_portable pattern: the scale path must reproduce the
+    // quadratic verifier EXACTLY (prefix filtering is complete, not
+    // probabilistic) — checked at a lenient and a strict threshold on a
+    // scoped slice of the real corpus
+    val docs150 = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 150)
+    Seq(0.5, 0.8).foreach { t =>
+      val sets = Dedup.tokenSet(docs150, "doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = Dedup.containmentPairs(sets, t).collect().map(key).toSet
+      val prefix = Dedup.containmentPairsPrefix(sets, t).collect().map(key).toSet
+      assert(prefix === exact, s"threshold $t: prefix path diverged")
+    }
+  }
+
   test("lmScore: verbatim duplicates tie; stereotyped text beats shuffled") {
     import spark.implicits._
     val df = Seq(
