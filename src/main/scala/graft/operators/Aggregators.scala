@@ -28,6 +28,53 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
   }
 
+  /** Element-wise vector mean: one (sum-vector, count) buffer per group.
+    * The kmeans M-step with this aggregator shuffles ONE buffer per cell
+    * (map-side combined) instead of posexplode'ing dim rows per member
+    * vector and re-assembling with collect_list — ~dim× less Lloyd-round
+    * shuffle volume. All vectors in a group must share a dimension. */
+  final case class VectorMean()
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      if (b._2 == 0L) (v.toArray, 1L)
+      else {
+        val s = b._1
+        require(s.length == v.length,
+          s"VectorMean: mixed dimensions ${s.length} vs ${v.length}")
+        var i = 0
+        while (i < s.length) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1L)
+      }
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._2 == 0L) b
+      else if (b._2 == 0L) a
+      else {
+        val s = a._1
+        require(s.length == b._1.length,
+          s"VectorMean: mixed dimensions ${s.length} vs ${b._1.length}")
+        var i = 0
+        while (i < s.length) { s(i) += b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) null
+      else {
+        val out = new Array[Double](b._1.length)
+        var i = 0
+        while (i < out.length) { out(i) = b._1(i) / b._2; i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+        Encoders.scalaLong)
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Streaming-friendly exact weighted mean: (sum, weight) buffer. */
   final case class WeightedMean() extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)

@@ -139,14 +139,14 @@ object Similarity {
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1)
         .select(col("centroid_id"), col("embedding"))
+      // M-step: one (sum-vector, count) buffer per cell via VectorMean —
+      // a single map-side-combined shuffle of numCells buffers, not the
+      // posexplode → per-(cell,dim) avg → collect_list reassembly that
+      // shuffled dim× rows per member vector per Lloyd round
+      val vmean = udaf(Aggregators.VectorMean())
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("v"))
         .groupBy("centroid_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("ce_new"))
+        .agg(vmean(transform(col("embedding"), _.cast("double"))).as("ce_new"))
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint()

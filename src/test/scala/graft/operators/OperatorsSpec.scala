@@ -346,6 +346,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("VectorMean aggregator equals the per-dimension explode-avg") {
+    // the kmeans M-step replacement must reproduce the posexplode → avg →
+    // reassembly it displaced (modulo FP summation order)
+    val vecs = emb.select(col("label"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val vmean = org.apache.spark.sql.functions.udaf(Aggregators.VectorMean())
+    val fast = vecs.groupBy("label").agg(vmean(col("e")).as("m"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    val slow = vecs.select(col("label"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("m"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    assert(fast.keySet === slow.keySet)
+    fast.foreach { case (k, v) =>
+      val w = slow(k)
+      assert(v.length === w.length)
+      v.indices.foreach(i => assert(math.abs(v(i) - w(i)) < 1e-9,
+        s"label $k dim $i: ${v(i)} vs ${w(i)}"))
+    }
+  }
+
   test("lmScore: verbatim duplicates tie; stereotyped text beats shuffled") {
     import spark.implicits._
     val df = Seq(

@@ -49,6 +49,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(out("2024-01-01 01:00:00.0") === 1L)
   }
 
+  test("windowedCounts on the real corpus reconciles with the evt_hourly_rollup gate") {
+    // correctness hook beyond unit fixtures: the streaming aggregation,
+    // run over the bounded events table, must reproduce the batch gate's
+    // hourly totals (counts exactly; value sums within the per-event-type
+    // rounding tolerance, since the streaming agg rounds per (window,
+    // type) and the gate rounds the per-hour total)
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Tables(spark, dir, "events")
+    val streamed = EventStreams.windowedCounts(events, "1 hour", "30 minutes")
+      .groupBy(col("window_start"))
+      .agg(sum(col("n_events")).as("n"), sum(col("total_value")).as("v"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val gate = graft.SparkEntry.allQueries.find(_.name == "evt_hourly_rollup")
+      .get.run(spark, dir)
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === gate.keySet)
+    gate.foreach { case (bucket, (n, v)) =>
+      val (sn, sv) = streamed(bucket)
+      assert(sn === n, s"count mismatch in $bucket")
+      assert(math.abs(sv - v) < 0.05, s"value drift in $bucket: $sv vs $v")
+    }
+  }
+
   test("stream-static enrichment join: events pick up dimension attributes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
