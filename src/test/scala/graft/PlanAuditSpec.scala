@@ -189,6 +189,20 @@ class PlanAuditSpec extends SparkSpec {
       "queries planning single-partition windows:\n" + offenders.mkString("\n"))
   }
 
+  test("TotalOrder: range partition + per-pid window, offsets broadcast") {
+    // the two-pass form's physical shape: one range exchange on the order
+    // key (global order across partitions), the intra-partition window
+    // hash-partitioned on _pid, and the prefix offsets joined by a
+    // broadcast — never a single-partition WindowExec
+    val plan = physicalPlan("smp_token_budget")
+    assert(plan.contains("rangepartitioning(doc_id"),
+      "order key must be range-partitioned:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(_pid"),
+      "window must shuffle on the partition id:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "prefix offsets must broadcast:\n" + plan.take(3000))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
