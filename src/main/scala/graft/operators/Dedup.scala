@@ -250,18 +250,18 @@ object Dedup {
     val sets =
       if (shingleN <= 1) tokenSet(df, idCol, textCol)
       else shingleSet(df, idCol, textCol, shingleN)
-    // materialize the band frame: it feeds BOTH sides of the candidate
-    // self-join, and without materialization the whole tokenize→minhash→
-    // band pipeline executes twice (exchange reuse does not survive the
-    // self-join aliases). A lazy localCheckpoint — not .cache() — because
-    // CacheManager entries outlive the query and accumulate across
-    // invocations in a long-lived session (the round-4 "already cached"
-    // leak); checkpoint blocks are freed by the ContextCleaner as soon as
-    // the frame is unreachable, and the truncated lineage is recomputable
-    // state we explicitly accept (as in connectedComponents / kmeans).
+    // cache the band frame: it feeds BOTH sides of the candidate self-join,
+    // and without materialization the whole tokenize→minhash→band pipeline
+    // executes twice (exchange reuse does not survive the self-join
+    // aliases). Cache, NOT localCheckpoint — the checkpoint cuts the plan
+    // at an opaque LogicalRDD, which measured ~3× slower on the LSH query
+    // (AQE loses statistics and the codegen boundary). CacheManager
+    // entries DO outlive the query, so long-lived hosts (Bench, Verify)
+    // call spark.catalog.clearCache() between queries to bound storage;
+    // library callers embedding this in a service should do the same.
     val bandsDf = lshBandsFromSig(
         minhashSignaturesAgg(sets, numHashes), numHashes, bands)
-      .localCheckpoint(eager = false)
+      .cache()
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
@@ -320,12 +320,11 @@ object Dedup {
       min(md5TokenHash(col("w"), i)).as(s"sig_$i")) :+
       count(lit(1)).as("n_toks")
     val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // lazy localCheckpoint, not .cache() — same rationale as
-    // [[minhashNearDups]]: one computation per job, no CacheManager leak
+    // cache, with the harness-scoped lifecycle of [[minhashNearDups]]
     val bandsDf = bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
         (slice, _) => md5(concat_ws(",", slice: _*)))
-      .localCheckpoint(eager = false)
+      .cache()
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
