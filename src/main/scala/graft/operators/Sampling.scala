@@ -74,4 +74,45 @@ object Sampling {
     TotalOrder.globalCumSum(df, orderCol, tokenCol, "cum_prev", inclusive = false)
       .withColumn("shard_id", floor(col("cum_prev") / budget))
       .drop("cum_prev")
+
+  /** Greedy sequence packing — the "pack documents into ≤ maxLen-token
+    * training sequences" primitive. Docs are taken in `orderCol` order; a
+    * doc joins the current sequence unless it would push the token total
+    * past `maxLen`, in which case it starts the next one (a doc longer
+    * than maxLen therefore occupies a sequence alone). Returns
+    * (orderCol, shard_id, seq_idx) with seq_idx counted within the shard.
+    *
+    * Greedy packing is inherently sequential (each decision depends on
+    * the running total after all previous decisions), so the scale shape
+    * is hierarchical: [[tokenShards]] first cuts the corpus into
+    * ~`shardTokens`-token shards (two-pass range-partition form, never a
+    * global window), then each shard packs independently with bounded
+    * per-group state — sequences never cross a shard boundary, the
+    * standard parallelism/packing-quality trade of distributed packing
+    * (at most one under-filled sequence per shard). The per-group sort
+    * buffers one shard (~shardTokens tokens) — bounded by construction,
+    * which is what makes the flatMapGroups admissible. Deterministic:
+    * pure function of (orderCol order, token counts), replayed exactly by
+    * a recursive-CTE oracle. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+      maxLen: Long, shardTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharded = tokenShards(df, orderCol, tokenCol, shardTokens)
+      .select(col(orderCol).cast("long"), col(tokenCol).cast("long"),
+        col("shard_id"))
+      .as[(Long, Long, Long)]
+    sharded.groupByKey(_._3)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._1)
+        var seq = 0L
+        var cum = 0L
+        rows.iterator.map { case (k, n, _) =>
+          if (cum > 0 && cum + n > maxLen) { seq += 1; cum = 0L }
+          cum += n
+          (k, shard, seq)
+        }
+      }
+      .toDF(orderCol, "shard_id", "seq_idx")
+  }
 }

@@ -106,6 +106,50 @@ object SamplingQueries {
           "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "shard_id")
         .orderBy("doc_id")
+    },
+
+    // ---- Greedy sequence packing: docs in id order packed into
+    // <= 512-token training sequences, never splitting a doc and never
+    // letting one straddle the limit (long docs sit alone). Sequential by
+    // nature, so the engine shards first (5000-token shards, scale-safe
+    // TotalOrder form) and packs within shards; the oracle replays the
+    // same greedy recurrence with a recursive CTE.
+    GQuery(
+      "smp_pack_sequences",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n,
+        |    CAST(floor(coalesce(sum(n) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 5000) AS BIGINT) AS shard_id
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, n, shard_id,
+        |    row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+        |  FROM sh),
+        |pack AS (
+        |  SELECT doc_id, shard_id, rn, n,
+        |    CAST(0 AS BIGINT) AS seq_idx, n AS cum
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.shard_id, r.rn, r.n,
+        |    CASE WHEN pack.cum + r.n > 512
+        |         THEN pack.seq_idx + 1 ELSE pack.seq_idx END,
+        |    CASE WHEN pack.cum + r.n > 512
+        |         THEN r.n ELSE pack.cum + r.n END
+        |  FROM r JOIN pack
+        |    ON r.shard_id = pack.shard_id AND r.rn = pack.rn + 1)
+        |SELECT doc_id, shard_id, seq_idx
+        |FROM pack
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.packSequences(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).as("n_toks")),
+          "doc_id", "n_toks", maxLen = 512L, shardTokens = 5000L)
+        .orderBy("doc_id")
     }
   )
 }

@@ -138,7 +138,8 @@ class PlanAuditSpec extends SparkSpec {
       // TotalOrder's triangular prefix-offset join: both sides are the
       // per-partition totals frame (<= spark.sql.shuffle.partitions rows
       // at ANY data scale) — metadata-sized by construction
-      "etl_surrogate_keys", "smp_token_budget", "smp_token_shards")
+      "etl_surrogate_keys", "smp_token_budget", "smp_token_shards",
+      "smp_pack_sequences")
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>

@@ -83,4 +83,36 @@ class SamplingSpec extends SparkSpec {
     if (all.length > shard.length)
       assert(cums.last + all(shard.length).getAs[Long]("n") > 5000L)
   }
+
+  test("packSequences: greedy invariants on the real corpus") {
+    val withN = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+    val packed = Sampling.packSequences(withN, "doc_id", "n",
+        maxLen = 512L, shardTokens = 5000L)
+      .join(withN, Seq("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard_id"),
+        r.getAs[Long]("seq_idx"), r.getAs[Long]("n")))
+    assert(packed.length === docs.count(), "every doc packed exactly once")
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((sh, seq), ds) =>
+      // a sequence respects maxLen unless it is one over-long doc alone
+      val total = ds.map(_._4).sum
+      assert(total <= 512L || ds.length == 1,
+        s"sequence ($sh,$seq) holds $total tokens across ${ds.length} docs")
+    }
+    // within a shard, seq_idx is non-decreasing in doc order and greedy:
+    // a new sequence starts only because the previous one was full
+    packed.groupBy(_._2).foreach { case (sh, ds) =>
+      val inOrder = ds.sortBy(_._1)
+      inOrder.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, _, s2, n2)) =>
+          assert(s2 == s1 || s2 == s1 + 1, s"shard $sh skips a sequence")
+          if (s2 == s1 + 1) {
+            val prevTotal = inOrder.filter(_._3 == s1).map(_._4).sum
+            assert(prevTotal + n2 > 512L,
+              s"shard $sh seq $s1 closed early ($prevTotal + $n2 <= 512)")
+          }
+        case _ => ()
+      }
+    }
+  }
 }
