@@ -457,6 +457,25 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 
+  /** Cluster-size histogram over the near-dup pair graph — the dedup
+    * diagnostic ("how much of the corpus is duplicated, and how big are
+    * the clusters?"). Docs in no pair count as size-1 clusters. Returns
+    * (cluster_size, n_clusters). Scale shape: connected components
+    * (O(log d) rounds) + two linear aggregations + one anti join. */
+  def clusterSizeHistogram(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val hist = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = df.select(col(idCol).as("doc_id"))
+      .join(comps, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionAll(singles)
+      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+  }
+
   /** Keep-list with transitive closure: keep one representative (the
     * min id) per connected component of the pair graph. Docs in no pair
     * are kept unchanged. */

@@ -75,6 +75,28 @@ object Sampling {
       .withColumn("shard_id", floor(col("cum_prev") / budget))
       .drop("cum_prev")
 
+  /** Deterministic weighted source interleaving — the "data mixing"
+    * primitive (e.g. 50% web / 25% code / 25% books): the k-th document
+    * of source s takes global position k / weight(s), so sorting by
+    * `interleave_pos` yields a stable round-robin-by-weight order in
+    * which each source appears at a rate proportional to its weight.
+    * Sources absent from `weights` are dropped. One partitioned window
+    * (rank within source) — linear, no global window; ties across
+    * sources break on the caller's sort (pos, key). Power-of-two weights
+    * make every position exact in binary, keeping the op bit-reproducible
+    * across engines. */
+  def interleaveBySource(df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(keyCol))
+    df.filter(w > 0)
+      .withColumn("interleave_pos",
+        (round(row_number().over(win) / w, 6) + lit(0.0)))
+  }
+
   /** Greedy sequence packing — the "pack documents into ≤ maxLen-token
     * training sequences" primitive. Docs are taken in `orderCol` order; a
     * doc joins the current sequence unless it would push the token total

@@ -108,6 +108,26 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Deterministic weighted source interleaving (data mixing): the
+    // k-th doc of source s lands at position k/weight(s); sorting by the
+    // position round-robins sources proportionally to their weights.
+    // Power-of-two weights keep every position exact in binary, so the
+    // double compares bit-identically across engines.
+    GQuery(
+      "smp_interleave",
+      """SELECT doc_id, lang,
+        |  round((row_number() OVER (PARTITION BY lang ORDER BY doc_id))
+        |    / CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+        |                WHEN 'fr' THEN 0.25 END, 6) + 0.0 AS interleave_pos
+        |FROM documents
+        |WHERE lang IN ('en', 'de', 'fr')
+        |ORDER BY interleave_pos, doc_id""".stripMargin) { (s, dir) =>
+      Sampling.interleaveBySource(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25))
+        .select("doc_id", "lang", "interleave_pos")
+        .orderBy("interleave_pos", "doc_id")
+    },
+
     // ---- Greedy sequence packing: docs in id order packed into
     // <= 512-token training sequences, never splitting a doc and never
     // letting one straddle the limit (long docs sit alone). Sequential by

@@ -431,6 +431,53 @@ object TextDedup {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // ---- Dedup diagnostic: cluster-size histogram over the near-dup
+    // graph ("how much of the corpus is duplicated, in what size
+    // clusters?"). Docs in no pair count as size-1 clusters; the oracle
+    // extends the recursive-CTE components replay with the same two
+    // aggregations.
+    GQuery(
+      "dedup_cluster_stats",
+      """WITH RECURSIVE w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2
+        |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+        |edges AS (
+        |  SELECT id1 AS s, id2 AS d FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT walk.s, e.d FROM walk JOIN edges e ON walk.d = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS comp FROM walk GROUP BY s),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters FROM (
+        |    SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+        |  GROUP BY cluster_size
+        |  UNION ALL
+        |  SELECT 1 AS cluster_size,
+        |    (SELECT count(*) FROM documents WHERE doc_id < 200)
+        |      - (SELECT count(*) FROM comp) AS n_clusters)
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM hist GROUP BY cluster_size
+        |HAVING sum(n_clusters) > 0
+        |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(Dedup.tokenSet(docs, "doc_id", "text"), 0.8)
+      Dedup.clusterSizeHistogram(docs, "doc_id", pairs)
+        .orderBy("cluster_size")
+    },
+
     // ---- Edit-distance fuzzy dedup over the CANONICALIZED text (tokens
     // sorted, prefix-80): canonicalization makes word-order-shuffled
     // near-dups low-distance, which raw text hides. Scoped all-pairs
