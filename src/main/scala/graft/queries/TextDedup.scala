@@ -687,14 +687,81 @@ object TextDedup {
         |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
       TextOps.tfidf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "term")
+    },
+
+    // ---- End-to-end corpus cleaning, the flagship composite: quality
+    // filter → exact dedup (min-id per content) → portable-MinHash
+    // near-dup keep-list, each stage the library's own operator. The
+    // oracle replays ALL three stages (the md5 sketch pipeline included),
+    // so one hash match certifies the whole cleaning job — the run a user
+    // of the engine would actually ship.
+    GQuery(
+      "pipe_corpus_clean",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+         |rep AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct
+         |  FROM per GROUP BY doc_id),
+         |quality AS (
+         |  SELECT d.doc_id, d.text, r.n_tokens
+         |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+         |  WHERE r.n_tokens BETWEEN 15 AND 10000
+         |    AND (CAST(length(d.text) AS DOUBLE) - (r.n_tokens - 1))
+         |      / r.n_tokens BETWEEN 2 AND 12
+         |    AND CAST(r.n_distinct AS DOUBLE) / r.n_tokens >= 0.3
+         |    AND len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+         |      x -> x IN ('the', 'a'))) > 0),
+         |exactk AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+         |eligible AS (
+         |  SELECT q.doc_id, q.text, q.n_tokens
+         |  FROM quality q JOIN exactk e ON q.doc_id = e.doc_id),
+         |${minhashSketchCtes("eligible", numHashes = 64, bands = 16)},
+         |dropped AS (
+         |  SELECT DISTINCT id2 FROM inter
+         |  JOIN sz s1 ON s1.doc_id = id1
+         |  JOIN sz s2 ON s2.doc_id = id2
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)
+         |SELECT doc_id, n_tokens FROM eligible
+         |WHERE doc_id NOT IN (SELECT id2 FROM dropped)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rep = TextOps.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      val nStop = size(filter(TextOps.tokens(col("text")),
+        x => x.isInCollection(stopwords)))
+      val quality = docs.join(rep, Seq("doc_id"))
+        .withColumn("avg_tok_len",
+          (length(col("text")).cast("double") - (col("n_tokens") - lit(1)))
+            / col("n_tokens").cast("double"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .filter(col("n_tokens").between(15, 10000)
+          && col("avg_tok_len").between(2, 12)
+          && col("distinct_ratio") >= 0.3
+          && nStop > 0)
+        .select("doc_id", "text", "n_tokens")
+      val keepIds = quality.groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val eligible = quality.join(keepIds, Seq("doc_id"))
+      val pairs = Dedup.minhashNearDupsPortable(eligible, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.keepList(eligible, "doc_id", pairs)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
     }
   )
 
-  /** DuckDB replay of [[graft.operators.Dedup.minhashNearDupsPortable]]:
-    * distinct token sets → 64 md5-family min-hashes → 16 md5 band hashes →
-    * candidate pairs sharing any band → exact Jaccard over candidates. */
-  private def minhashPortableOracle(scopeLim: Int, numHashes: Int,
-      bands: Int, threshold: Double): String = {
+  /** The portable-MinHash sketch pipeline as a CTE chain over `sourceCte`
+    * (which must expose doc_id + text): distinct token sets → md5-family
+    * min-hashes → md5 band hashes → candidate pairs sharing any band →
+    * per-pair intersection counts. Emitted WITHOUT a leading WITH so
+    * callers can prepend their own CTEs (quality filter, exact dedup). */
+  private def minhashSketchCtes(sourceCte: String, numHashes: Int,
+      bands: Int): String = {
     val rows = numHashes / bands
     val sigCols = (0 until numHashes).map(i =>
       s"min(('0x' || substring(md5('$i|' || w), 1, 15))::BIGINT) AS sig_$i")
@@ -704,9 +771,9 @@ object TextDedup {
         .mkString(", ")
       s"  SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $slice)) AS band_hash FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-       |  FROM documents WHERE doc_id < $scopeLim),
+       |  FROM $sourceCte),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigCols
@@ -724,7 +791,17 @@ object TextDedup {
        |  FROM cands c
        |  JOIN w a ON a.doc_id = c.id1
        |  JOIN w b ON b.doc_id = c.id2 AND a.w = b.w
-       |  GROUP BY c.id1, c.id2)
+       |  GROUP BY c.id1, c.id2)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Dedup.minhashNearDupsPortable]]:
+    * the sketch CTE chain over a doc_id-scoped corpus + the Jaccard
+    * verification select. */
+  private def minhashPortableOracle(scopeLim: Int, numHashes: Int,
+      bands: Int, threshold: Double): String =
+    s"""WITH scope AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $scopeLim),
+       |${minhashSketchCtes("scope", numHashes, bands)}
        |SELECT id1, id2,
        |  round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
        |FROM inter
@@ -732,7 +809,6 @@ object TextDedup {
        |JOIN sz s2 ON s2.doc_id = id2
        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= $threshold
        |ORDER BY id1, id2""".stripMargin
-  }
 
   /** DuckDB oracle scaffolding for the md5-keyed 60-bit SimHash: tokenize →
     * 60-bit token hash from md5 hex → per-bit +1/-1 vote sums → signature.
