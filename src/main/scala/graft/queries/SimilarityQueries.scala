@@ -206,6 +206,27 @@ object SimilarityQueries {
       Multimodal.decodeStub(s, Multimodal.attachBlob(t(s, dir, "documents")))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // ---- Frame sampling dataflow, hash-checked: the blob is the text's
+    // UTF-8 bytes, so the stride-chunk boundaries (one row per "frame",
+    // partition-local flatMap) are byte arithmetic DuckDB replays exactly
+    // — the stub's DATAFLOW gets a real oracle even though the codec
+    // stays stubbed.
+    GQuery(
+      "mm_frame_sample",
+      """SELECT doc_id, frame_idx,
+        |  CAST(least(100, strlen(text) - frame_idx * 100) AS BIGINT)
+        |    AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(strlen(text) / 100.0) AS BIGINT) - 1)) AS frame_idx
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.attachBlob(t(s, dir, "documents")), stride = 100)
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
