@@ -145,7 +145,7 @@ object SamplingQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      / 5000) AS BIGINT) AS shard_id
         |  FROM toks),
-        |r AS (
+        |r AS MATERIALIZED (
         |  SELECT doc_id, n, shard_id,
         |    row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
         |  FROM sh),

@@ -694,12 +694,17 @@ object TextDedup {
     // near-dup keep-list, each stage the library's own operator. The
     // oracle replays ALL three stages (the md5 sketch pipeline included),
     // so one hash match certifies the whole cleaning job — the run a user
-    // of the engine would actually ship.
+    // of the engine would actually ship. Scoped doc_id < 500 like the
+    // other sketch gates (the whole corpus at small sf): the near-dup
+    // verification stage is intentionally run on a bounded slice so the
+    // gate's cost doesn't scale quadratically with corpus sf.
     GQuery(
       "pipe_corpus_clean",
-      s"""WITH tok AS (
+      s"""WITH scope AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |tok AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |  FROM documents),
+         |  FROM scope),
          |per AS (
          |  SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
          |rep AS (
@@ -708,7 +713,7 @@ object TextDedup {
          |  FROM per GROUP BY doc_id),
          |quality AS (
          |  SELECT d.doc_id, d.text, r.n_tokens
-         |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+         |  FROM scope d JOIN rep r ON d.doc_id = r.doc_id
          |  WHERE r.n_tokens BETWEEN 15 AND 10000
          |    AND (CAST(length(d.text) AS DOUBLE) - (r.n_tokens - 1))
          |      / r.n_tokens BETWEEN 2 AND 12
@@ -728,7 +733,7 @@ object TextDedup {
          |SELECT doc_id, n_tokens FROM eligible
          |WHERE doc_id NOT IN (SELECT id2 FROM dropped)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
       val rep = TextOps.repetitionStats(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
       val nStop = size(filter(TextOps.tokens(col("text")),
