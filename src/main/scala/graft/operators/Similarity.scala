@@ -70,6 +70,22 @@ object Similarity {
     rerankTopK(c.crossJoin(broadcast(q)), k, "qe", "ce")
   }
 
+  /** Top-k search over the int8-QUANTIZED corpus ([[quantizeInt8]]) — the
+    * memory-bound production path (4× smaller index resident per
+    * executor). Cosine is scale-invariant, so scoring directly on the
+    * integer qvec equals scoring on the dequantized vectors
+    * (cos(q, s·v) = cos(q, v)) — no dequantization pass, and the whole
+    * search is engine-reproducible because the quantization itself is
+    * (gate emb_quantize_int8). Same rerank tail as every other search
+    * path; accuracy loss vs exact is the int8 rounding only
+    * (recall spec'd in OperatorsSpec). */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = quantizeInt8(candidates)
+      .select(col("vec_id").as("cand_id"), col("qvec").as("ce"))
+    rerankTopK(c.crossJoin(broadcast(q)), k, "qe", "ce")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` in [-1, 1), seeded —
     * no runtime randomness, so plans are reproducible run to run. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -41,6 +41,42 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ---- Top-k over the int8-quantized corpus (memory-bound production
+    // path; cosine's scale invariance means scoring the integer qvec
+    // equals scoring the dequantized vector). Fully oracle-checked: the
+    // quantization replay of emb_quantize_int8 feeds the same
+    // cosine/top-k tail as sim_cosine_topk.
+    GQuery(
+      "sim_quantized_topk",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+        |      1e-30) AS scale
+        |  FROM v),
+        |c AS (
+        |  SELECT vec_id AS cand_id,
+        |    list_transform(e,
+        |      x -> CAST(CAST(round(x / scale) AS BIGINT) AS DOUBLE)) AS ce
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |sc AS (SELECT query_id, cand_id, list_cosine_similarity(qe, ce) AS cos
+        |       FROM q CROSS JOIN c WHERE cand_id <> query_id),
+        |r AS (SELECT query_id, cand_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, cand_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, cand_id, round(cos, 4) + 0.0 AS cosine,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .withColumn("cosine", col("cosine") + lit(0.0))
+        .orderBy("query_id", "rn")
+    },
+
     // ---- ANN via LSH buckets + multi-probe (scale path). Full oracle:
     // the seeded hyperplanes and the Hamming-probe mask list are inlined
     // as SQL literals, so DuckDB replays bucket assignment, probe

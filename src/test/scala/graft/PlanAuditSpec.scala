@@ -129,7 +129,8 @@ class PlanAuditSpec extends SparkSpec {
     // q20 crossJoins a guaranteed single-row aggregate (scalar-subquery
     // pattern — a 1-row broadcast build side costs nothing at any scale).
     val intentional = Set(
-      "sim_cosine_topk", "sim_ann_ivf", "dedup_embedding_cosine",
+      "sim_cosine_topk", "sim_quantized_topk", // broadcast query set × one corpus scan
+      "sim_ann_ivf", "dedup_embedding_cosine",
       "emb_cluster_assign", // bounded (8-row) centroid cross join
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",

@@ -346,6 +346,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k recall vs exact brute force") {
+    // int8 rounding on 64-dim vectors should barely move the top-5 set
+    val queries = emb.filter(col("vec_id") < 20)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "cand_id"))
+    val quant = topSet(Similarity.quantizedTopK(queries, emb, 5)
+      .select("query_id", "cand_id"))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall too low")
+  }
+
   test("VectorMean aggregator equals the per-dimension explode-avg") {
     // the kmeans M-step replacement must reproduce the posexplode → avg →
     // reassembly it displaced (modulo FP summation order)
