@@ -110,4 +110,34 @@ class ScaleSpec extends SparkSpec {
     val plan = salted.queryExecution.optimizedPlan.toString
     assert(plan.contains("_salt"), plan.take(1500))
   }
+
+  test("TotalOrder output is invariant to the shuffle partition count") {
+    // the property that makes the two-pass form safe at any cluster
+    // width: global row numbers / running sums must not depend on how
+    // many range partitions the data happens to land in
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n"))
+    def run(parts: String): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val cum = graft.operators.TotalOrder
+          .globalCumSum(docs, "doc_id", "n", "cum")
+          .orderBy("doc_id").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum"))).toSeq
+        val rn = graft.operators.TotalOrder
+          .globalRowNumber(docs, "doc_id", "rn")
+          .orderBy("doc_id").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSeq
+        (cum, rn)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    val (cum32, rn32) = run("32")
+    val (cum5, rn5) = run("5")
+    val (cum1, rn1) = run("1")
+    assert(cum32 === cum5 && cum32 === cum1, "running sum depends on partitioning")
+    assert(rn32 === rn5 && rn32 === rn1, "row number depends on partitioning")
+  }
 }
