@@ -26,9 +26,14 @@ import org.apache.spark.sql.expressions.Window
   *     (hash-partitioned on the physical partition id — linear, parallel).
   *
   * The offsets are computed in-plan (no driver `collect`): both the
-  * totals branch and the data branch hang off the SAME range exchange, so
-  * Catalyst's exchange reuse evaluates the shuffle once and both passes
-  * see the same partition assignment by construction.
+  * totals branch and the data branch hang off the same range exchange.
+  * When column pruning leaves both branches the same projection, exchange
+  * reuse evaluates the shuffle once; when it narrows the totals branch,
+  * the range shuffle is recomputed — deterministically (RangePartitioner
+  * samples with a fixed seed over the same input), so both passes see the
+  * identical partition assignment either way. A ScaleSpec property test
+  * pins the stronger fact that the output is invariant to the partition
+  * count itself.
   *
   * Determinism: `orderCol` must be a total order (unique per row) for the
   * running values to be well-defined — the same requirement the
