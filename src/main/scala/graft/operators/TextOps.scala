@@ -43,6 +43,49 @@ object TextOps {
   /** Content fingerprint: md5 of the raw bytes (stable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * '03 — the MOSS algorithm): hash every k-token gram, slide a
+    * w-gram window, and keep each window's minimal hash (rightmost on
+    * ties). Guarantees: every window of w consecutive grams contributes a
+    * fingerprint (so any shared substring of ≥ k+w−1 tokens is caught by
+    * a shared fingerprint), at an expected density of 2/(w+1) — the
+    * substring-level dedup/contamination primitive between full-doc
+    * hashing (too coarse) and all-gram indexing (too big).
+    *
+    * Returns (doc_id, pos, fp): the selected gram positions (1-based)
+    * and their 60-bit portable md5 hashes ([[Sampling.hash60]] family, so
+    * a SQL oracle replays every selection). Pure column algebra: the
+    * token array materializes once per row, gram→window membership is a
+    * bounded explode (≤ w windows per gram), and the per-window argmin is
+    * one partitioned aggregation — linear, no joins. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("t")) - (k - 1), lit(1))),
+          i => struct(i.as("pos"), slice(col("t"), i, lit(k)).as("g")))).as("s"))
+      .filter(size(col("s.g")) === k) // drops the short-doc sentinel index
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"),
+        Sampling.hash60(concat_ws(" ", col("s.g"))).as("h"))
+    // gram at pos belongs to windows [pos-w+1, pos] clipped to [1, G-w+1]
+    // (G = gram count; all grams share window 1 when G < w). last_win is
+    // materialized in its own projection — a window expression cannot sit
+    // inside the generator arguments.
+    grams
+      .withColumn("last_win", greatest(
+        max(col("pos")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")) - (w - 1), lit(1L)))
+      .withColumn("win", explode(sequence(
+        greatest(col("pos") - (w - 1), lit(1L)),
+        least(col("pos"), col("last_win")))))
+      .groupBy(col("doc_id"), col("win"))
+      // struct min = (h asc, -pos asc) = minimal hash, rightmost on ties
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
+      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .distinct()
+  }
+
   /** Canonical normalization for dedup/training: lowercase, trim, collapse
     * whitespace runs to single spaces. RE2-safe pattern (no lookaround),
     * so any engine reproduces it. */

@@ -689,6 +689,46 @@ object TextDedup {
         .orderBy("doc_id", "term")
     },
 
+    // ---- Winnowing fingerprint selection (MOSS): hash every 3-token
+    // gram, keep each 4-gram window's minimal hash (rightmost on ties) —
+    // any shared substring of >= 6 tokens is caught by a shared selected
+    // fingerprint at ~2/(w+1) density. Portable md5-60 hashes, so the
+    // oracle replays every selection decision.
+    GQuery(
+      "txt_winnowing",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ('0x' || substring(md5(
+        |      array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 15))::BIGINT
+        |      AS h
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+        |        FROM t)
+        |  WHERE len(list_slice(tk, i, i + 2)) = 3),
+        |gg AS (
+        |  SELECT doc_id, pos, h,
+        |    greatest(max(pos) OVER (PARTITION BY doc_id) - 3, 1) AS last_win
+        |  FROM g),
+        |gw AS (
+        |  SELECT doc_id, pos, h,
+        |    unnest(generate_series(greatest(pos - 3, 1), least(pos, last_win)))
+        |      AS win
+        |  FROM gg),
+        |r AS (
+        |  SELECT doc_id, pos, h, win,
+        |    row_number() OVER (PARTITION BY doc_id, win ORDER BY h, pos DESC)
+        |      AS rn
+        |  FROM gw)
+        |SELECT DISTINCT doc_id, pos, h AS fp
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      TextOps.winnow(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- End-to-end corpus cleaning, the flagship composite: quality
     // filter → exact dedup (min-id per content) → portable-MinHash
     // near-dup keep-list, each stage the library's own operator. The

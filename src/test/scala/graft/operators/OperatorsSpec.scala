@@ -346,6 +346,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: every window covered, density near 2/(w+1)") {
+    val w = 4
+    val sel = TextOps.winnow(docs, "doc_id", "text", k = 3, w = w)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+      .groupBy(_._1)
+    assert(sel.size === 500, "every doc fingerprinted")
+    sel.foreach { case (id, ps) =>
+      val pos = ps.map(_._2).sorted
+      // the winnowing guarantee: a fingerprint in every w-gram window →
+      // first selection within the first window, consecutive gaps <= w
+      assert(pos.head <= w, s"doc $id first fingerprint at ${pos.head}")
+      pos.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= w, s"doc $id gap $a -> $b")
+        case _ => ()
+      }
+    }
+    // expected density 2/(w+1) = 0.4 of grams; generous band
+    val nGrams = docs.select(org.apache.spark.sql.functions
+      .greatest(TextOps.tokenCount(col("text")) - 2, lit(0L))).collect()
+      .map(_.getLong(0)).sum
+    val density = sel.values.map(_.size).sum.toDouble / nGrams
+    assert(density > 0.2 && density < 0.6, s"winnowing density $density")
+  }
+
   test("quantized top-k recall vs exact brute force") {
     // int8 rounding on 64-dim vectors should barely move the top-5 set
     val queries = emb.filter(col("vec_id") < 20)
