@@ -86,6 +86,28 @@ object TextOps {
       .distinct()
   }
 
+  /** Substring-overlap pairs from shared [[winnow]] fingerprints — what
+    * the fingerprints are for: two docs sharing `minShared` selected rare
+    * fingerprints share substantial verbatim token runs. Fingerprints
+    * appearing in more than `maxDf` docs are suppressed first (the
+    * standard boilerplate/hot-gram df-cut in fingerprint dedup), which is
+    * also what keeps the fp equi-join selective at corpus scale: candidate
+    * pairs per fingerprint are bounded by maxDf². */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame = {
+    val fps = winnow(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val f = fps.join(rare, Seq("fp"))
+    f.as("a")
+      .join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Canonical normalization for dedup/training: lowercase, trim, collapse
     * whitespace runs to single spaces. RE2-safe pattern (no lookaround),
     * so any engine reproduces it. */

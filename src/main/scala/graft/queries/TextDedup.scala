@@ -696,37 +696,38 @@ object TextDedup {
     // oracle replays every selection decision.
     GQuery(
       "txt_winnowing",
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    ('0x' || substring(md5(
-        |      array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 15))::BIGINT
-        |      AS h
-        |  FROM (SELECT doc_id, tk,
-        |          unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
-        |        FROM t)
-        |  WHERE len(list_slice(tk, i, i + 2)) = 3),
-        |gg AS (
-        |  SELECT doc_id, pos, h,
-        |    greatest(max(pos) OVER (PARTITION BY doc_id) - 3, 1) AS last_win
-        |  FROM g),
-        |gw AS (
-        |  SELECT doc_id, pos, h,
-        |    unnest(generate_series(greatest(pos - 3, 1), least(pos, last_win)))
-        |      AS win
-        |  FROM gg),
-        |r AS (
-        |  SELECT doc_id, pos, h, win,
-        |    row_number() OVER (PARTITION BY doc_id, win ORDER BY h, pos DESC)
-        |      AS rn
-        |  FROM gw)
-        |SELECT DISTINCT doc_id, pos, h AS fp
-        |FROM r WHERE rn = 1
-        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      s"""WITH $winnowingCtes
+         |SELECT DISTINCT doc_id, pos, h AS fp
+         |FROM r WHERE rn = 1
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
       TextOps.winnow(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- Substring-overlap pairs via shared winnowing fingerprints —
+    // what the fingerprints are FOR: docs sharing >= 3 selected rare
+    // fingerprints share substantial verbatim runs. Fingerprints in more
+    // than 50 docs are suppressed first (boilerplate/hot-trigram
+    // suppression, the standard df-cut in fingerprint dedup) so the
+    // fp equi-join stays selective at corpus scale.
+    GQuery(
+      "txt_winnow_overlap",
+      s"""WITH $winnowingCtes,
+         |sel AS (
+         |  SELECT DISTINCT doc_id, h AS fp FROM r WHERE rn = 1),
+         |rare AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM sel GROUP BY fp)
+         |  WHERE df <= 50),
+         |f AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  count(*) AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      TextOps.winnowOverlap(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 3L, maxDf = 50L)
+        .orderBy("id1", "id2")
     },
 
     // ---- End-to-end corpus cleaning, the flagship composite: quality
@@ -799,6 +800,38 @@ object TextDedup {
         .orderBy("doc_id")
     }
   )
+
+  /** The winnowing selection (k=3, w=4) as a CTE chain ending in `r`
+    * (rows with rn = 1 are the selected fingerprints) — shared by the
+    * selection gate and the overlap-pairs gate. Emitted WITHOUT the
+    * leading WITH. */
+  private def winnowingCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    ('0x' || substring(md5(
+      |      array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 15))::BIGINT
+      |      AS h
+      |  FROM (SELECT doc_id, tk,
+      |          unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+      |        FROM t)
+      |  WHERE len(list_slice(tk, i, i + 2)) = 3),
+      |gg AS (
+      |  SELECT doc_id, pos, h,
+      |    greatest(max(pos) OVER (PARTITION BY doc_id) - 3, 1) AS last_win
+      |  FROM g),
+      |gw AS (
+      |  SELECT doc_id, pos, h,
+      |    unnest(generate_series(greatest(pos - 3, 1), least(pos, last_win)))
+      |      AS win
+      |  FROM gg),
+      |r AS (
+      |  SELECT doc_id, pos, h, win,
+      |    row_number() OVER (PARTITION BY doc_id, win ORDER BY h, pos DESC)
+      |      AS rn
+      |  FROM gw)""".stripMargin
 
   /** The portable-MinHash sketch pipeline as a CTE chain over `sourceCte`
     * (which must expose doc_id + text): distinct token sets → md5-family
