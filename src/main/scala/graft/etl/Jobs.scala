@@ -108,9 +108,25 @@ final class LoadJob(processed: TableStore, warehouse: TableStore) {
   * SURVEY.md §1.2), so the warehouse columns land typed even when the DB
   * table is auto-created by the write. */
 final class JdbcWarehouseSink(url: String, props: java.util.Properties,
-    batchSize: Int = 1000) {
+    batchSize: Int = 1000, numWriters: Int = 8) {
+
+  /** The frame actually handed to the JDBC writer: conformed to the
+    * warehouse schema and CAPPED at `numWriters` partitions. Writer
+    * parallelism must be pinned, not inherited — an upstream frame
+    * arriving with thousands of partitions would open thousands of
+    * concurrent connections against the warehouse (the classic JDBC-sink
+    * scale failure); a coalesce (no shuffle) bounds the connection count
+    * while keeping up-to-`numWriters`-way parallel batched inserts.
+    * Exposed for the spec that asserts the cap. */
+  private[etl] def writerFrame(table: String, df: DataFrame): DataFrame = {
+    val conformed = Schemas.conformToWarehouse(table, df)
+    if (conformed.rdd.getNumPartitions > numWriters)
+      conformed.coalesce(numWriters)
+    else conformed
+  }
+
   def append(table: String, df: DataFrame): Unit =
-    Schemas.conformToWarehouse(table, df).write
+    writerFrame(table, df).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("batchsize", batchSize)
       .jdbc(url, table, props)

@@ -104,19 +104,33 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsofJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsofJoin
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      minhashName, exprs => {
-        val n = exprs(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"$minhashName numHashes must be a literal, got $other")
-        }
-        MinHashAgg(exprs(0), n)
-      }, "built-in")
+    // register each function only when absent: createOrReplaceTempFunction
+    // on an existing entry logs a "replaced a previously registered
+    // function" WARN per call, and register() runs once per table build —
+    // a harness sweep would spam hundreds of them into the bench tail
+    val registry = spark.sessionState.functionRegistry
+    def ifAbsent(name: String)(body: => Unit): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) body
+    ifAbsent(cosineName) {
+      registry.createOrReplaceTempFunction(
+        cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+    ifAbsent(intersectName) {
+      registry.createOrReplaceTempFunction(
+        intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
+    }
+    ifAbsent(minhashName) {
+      registry.createOrReplaceTempFunction(
+        minhashName, exprs => {
+          val n = exprs(1) match {
+            case e if e.foldable => e.eval().asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(
+              s"$minhashName numHashes must be a literal, got $other")
+          }
+          MinHashAgg(exprs(0), n)
+        }, "built-in")
+    }
   }
 
   /** Column-API handle (requires register(spark) on the active session). */

@@ -126,9 +126,16 @@ object Dedup {
     * the intersection with the codegen kernel per surviving pair. */
   def containmentPairsPrefix(sets: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val docFreq = sets.groupBy("w").agg(count(lit(1)).as("tok_df"))
-    val full = sets.join(sizes, Seq("doc_id"))
+    // cache the token frame: it feeds FOUR branches (sizes, docFreq, the
+    // prefix/full join and the verification arrays), and without
+    // materialization each branch re-runs the whole upstream
+    // scan+tokenize+distinct — measured as the #2 bench cost in round 5.
+    // Same cache lifecycle as minhashNearDups: bounded by the harness's
+    // per-query clearCache().
+    val toks = CacheOnce(sets)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val docFreq = toks.groupBy("w").agg(count(lit(1)).as("tok_df"))
+    val full = toks.join(sizes, Seq("doc_id"))
     val prefixes = full.join(docFreq, Seq("w"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tok_df"), col("w"))))
@@ -140,7 +147,7 @@ object Dedup {
       .select(col("a.doc_id").as("id"), col("b.doc_id").as("other"),
         col("a.n").as("n_id"), col("b.n").as("n_other"))
       .distinct()
-    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    val tokArr = toks.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
     cands
       .filter(col("n_other").cast("double")
         >= lit(threshold) * col("n_id").cast("double"))
@@ -259,9 +266,8 @@ object Dedup {
     // entries DO outlive the query, so long-lived hosts (Bench, Verify)
     // call spark.catalog.clearCache() between queries to bound storage;
     // library callers embedding this in a service should do the same.
-    val bandsDf = lshBandsFromSig(
-        minhashSignaturesAgg(sets, numHashes), numHashes, bands)
-      .cache()
+    val bandsDf = CacheOnce(lshBandsFromSig(
+        minhashSignaturesAgg(sets, numHashes), numHashes, bands))
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
@@ -321,10 +327,9 @@ object Dedup {
       count(lit(1)).as("n_toks")
     val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // cache, with the harness-scoped lifecycle of [[minhashNearDups]]
-    val bandsDf = bandedExplode(sigs, numHashes, bands,
+    val bandsDf = CacheOnce(bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
-        (slice, _) => md5(concat_ws(",", slice: _*)))
-      .cache()
+        (slice, _) => md5(concat_ws(",", slice: _*))))
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 

@@ -45,12 +45,18 @@ object Multimodal {
 
   private[operators] def decodeOne(b: MediaBlob): MediaMeta = {
     // ??? <- real codec goes here; deterministic fake below keeps the
-    // pipeline testable end to end
-    val h = java.util.Arrays.hashCode(b.content)
-    val width = 64 + math.floorMod(h, 1024)
-    val height = 64 + math.floorMod(h >> 10, 1024)
+    // pipeline testable end to end. The fake fields derive from a 60-bit
+    // md5 prefix of the content (the engine's portable hash family, same
+    // as Sampling.hash60), so ANY engine with md5 — the DuckDB oracle
+    // included — replays width/height/format exactly and the stub's
+    // dataflow lands under a hash-checked gate.
+    val md = java.security.MessageDigest.getInstance("MD5").digest(b.content)
+    val hex = md.map(x => f"${x & 0xFF}%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val width = 64 + (h % 1024L).toInt
+    val height = 64 + ((h >> 10) % 1024L).toInt
     MediaMeta(b.doc_id, b.media_type, b.content.length.toLong,
-      format = if (math.floorMod(h, 2) == 0) "png" else "jpeg",
+      format = if (h % 2L == 0L) "png" else "jpeg",
       width = width, height = height, channels = 3)
   }
 

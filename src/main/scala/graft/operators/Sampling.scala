@@ -120,6 +120,20 @@ object Sampling {
       maxLen: Long, shardTokens: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed (Long, Long, Long) row encoding below casts both columns
+    // to long; a non-integral key (e.g. a string id) would cast to null
+    // and silently corrupt shard sort order — fail fast instead
+    def requireIntegral(c: String): Unit = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packSequences requires an integral column '$c', got $other " +
+          "(hash non-integral keys first, e.g. Sampling.hash60)")
+    }
+    requireIntegral(orderCol)
+    requireIntegral(tokenCol)
     val sharded = tokenShards(df, orderCol, tokenCol, shardTokens)
       .select(col(orderCol).cast("long"), col(tokenCol).cast("long"),
         col("shard_id"))

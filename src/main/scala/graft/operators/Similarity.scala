@@ -215,10 +215,42 @@ object Similarity {
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame = {
-    val centroids = kmeansCentroids(
-      candidates.select(col("vec_id"), col("embedding")), numCentroids, lloydIters)
+      numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame =
+    ivfFromCentroids(queries, candidates,
+      kmeansCentroids(
+        candidates.select(col("vec_id"), col("embedding")), numCentroids, lloydIters),
+      k, nProbe)
 
+  /** IVF with an engine-PORTABLE coarse quantizer: centroids are the
+    * `numCentroids` vectors with the lowest 60-bit md5 hash of their id
+    * (the same portable hash family as [[Sampling.hash60]] /
+    * [[Dedup.md5TokenHash]]) instead of [[kmeansCentroids]]'s
+    * xxhash64-sample + Lloyd refinement. Same recall characteristics as
+    * `lloydIters = 0` (both are uniform deterministic samples of the
+    * corpus), but every step — sample, assign, probe, re-rank — is
+    * replayable by any engine with md5, so the WHOLE IVF dataflow lands
+    * under a hash-checked oracle (gate sim_ann_ivf_fixed). The Lloyd-
+    * refined production path keeps its recall spec + rows-only gate.
+    * Centroid selection is a top-k (TakeOrdered) over one corpus scan —
+    * no global sort. */
+  def ivfTopKPortable(queries: DataFrame, candidates: DataFrame,
+      numCentroids: Int, k: Int, nProbe: Int): DataFrame = {
+    val centroids = candidates
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+      .withColumn("h", Sampling.hash60(col("centroid_id").cast("string")))
+      .orderBy("h").limit(numCentroids)
+      .drop("h")
+    ivfFromCentroids(queries, candidates, centroids, k, nProbe)
+  }
+
+  /** The IVF dataflow shared by every centroid-init flavor: assign each
+    * candidate to its nearest cell (keep = 1), probe the `nProbe` nearest
+    * cells per query, re-rank the candidates of probed cells with exact
+    * cosine. Candidate generation is the cell equi-join — never a cross
+    * join over the corpus. */
+  private[operators] def ivfFromCentroids(queries: DataFrame,
+      candidates: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val cells = assignCells(
       candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cemb")),
       "cand_id", "cemb", centroids, keep = 1)

@@ -25,15 +25,21 @@ import org.apache.spark.sql.expressions.Window
   *  4. The global value = prefix offset + an intra-partition window
   *     (hash-partitioned on the physical partition id — linear, parallel).
   *
-  * The offsets are computed in-plan (no driver `collect`): both the
-  * totals branch and the data branch hang off the same range exchange.
-  * When column pruning leaves both branches the same projection, exchange
-  * reuse evaluates the shuffle once; when it narrows the totals branch,
-  * the range shuffle is recomputed — deterministically (RangePartitioner
-  * samples with a fixed seed over the same input), so both passes see the
-  * identical partition assignment either way. A ScaleSpec property test
-  * pins the stronger fact that the output is invariant to the partition
-  * count itself.
+  * The offsets are computed in-plan (no driver `collect`), and the
+  * range-partitioned frame is MATERIALIZED ONCE (`.cache()`) so the totals
+  * branch and the data branch read the same physical partitioning.
+  * Correctness requires this: RangePartitioner draws its reservoir-sample
+  * boundaries with a seed derived from the runtime RDD id, so two separate
+  * range exchanges over the same input (which is what column pruning or an
+  * AQE re-plan produces once exchange reuse fails to fire) can draw
+  * DIFFERENT boundaries whenever the sampler actually subsamples — exactly
+  * the regime this operator exists for. With one cached materialization
+  * there is one boundary draw by construction; the cache is plan-shaped
+  * like the minhash band-frame cache (cache, not localCheckpoint — see
+  * Dedup.minhashNearDups) and bounded by the harness's per-query
+  * `spark.catalog.clearCache()`; long-lived library callers should do the
+  * same. A ScaleSpec property test additionally pins that the output is
+  * invariant to the partition count itself.
   *
   * Determinism: `orderCol` must be a total order (unique per row) for the
   * running values to be well-defined — the same requirement the
@@ -47,8 +53,12 @@ object TotalOrder {
     * `weight` over all lower partitions). Internal: callers drop both. */
   private def withPrefixOffsets(df: DataFrame, orderCol: String,
       weight: Column): DataFrame = {
-    val parted = df.repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    // cache = the single physical materialization both branches read; see
+    // the scaladoc above for why this is a correctness requirement, not an
+    // optimization ([[CacheOnce]] keeps the call idempotent across gates
+    // that share this canonical plan)
+    val parted = CacheOnce(df.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id()))
     // one row per partition — bounded by spark.sql.shuffle.partitions
     val totals = parted.groupBy(col("_pid")).agg(sum(weight).as("_ptot"))
     // prefix sum over <= numPartitions rows: a triangular join on this

@@ -99,6 +99,46 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ---- IVF with the PORTABLE md5-sample coarse quantizer: identical
+    // dataflow (assign → cell equi-join → re-rank) but every step is
+    // SQL-replayable, so the whole IVF pipeline — centroid sample, cell
+    // assignment with its tie-break, probe expansion, re-rank — sits under
+    // one hash-checked gate; the Lloyd-refined twin above keeps the
+    // recall story.
+    GQuery(
+      "sim_ann_ivf_fixed",
+      """WITH ranked AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |  LIMIT 16),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ca AS (
+        |  SELECT v.vec_id, v.e, r.centroid_id,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(e, ce) DESC, centroid_id) AS crn
+        |  FROM v CROSS JOIN ranked r),
+        |cells AS (SELECT vec_id AS cand_id, e AS cemb, centroid_id AS cell
+        |          FROM ca WHERE crn = 1),
+        |probes AS (SELECT vec_id AS query_id, e AS qe, centroid_id AS cell
+        |           FROM ca WHERE vec_id < 10 AND crn <= 4),
+        |s AS (SELECT query_id, cand_id,
+        |        list_cosine_similarity(qe, cemb) AS cos
+        |      FROM cells JOIN probes USING (cell)
+        |      WHERE cand_id <> query_id),
+        |r AS (SELECT query_id, cand_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, cand_id) AS rn
+        |      FROM s)
+        |SELECT query_id, cand_id, round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKPortable(emb.filter(col("vec_id") < 10), emb,
+          numCentroids = 16, k = 5, nProbe = 4)
+        .orderBy("query_id", "rn")
+    },
+
     // ---- ANN index diagnostic: bucket occupancy histogram. The oracle
     // re-derives the sign-LSH bucket ids with the SAME hyperplanes inlined
     // as SQL literals (shortest-round-trip double rendering), so the
@@ -236,9 +276,24 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
-    // ---- Multimodal decode stub: typed per-partition batch pipeline
-    // (deterministic fake codec; plumbing is the real dataflow).
-    GQuery.noOracle("mm_decode_meta") { (s, dir) =>
+    // ---- Multimodal decode stub: typed per-partition batch pipeline.
+    // The codec stays stubbed (sandbox has no media libs), but the stub's
+    // fake fields derive from a 60-bit md5 prefix of the content bytes, so
+    // the WHOLE mapPartitions dataflow is hash-checked: DuckDB replays
+    // width/height/format from md5(text) (the blob is the text's UTF-8
+    // bytes, and DuckDB's md5 hashes the same bytes).
+    GQuery(
+      "mm_decode_meta",
+      """WITH h AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, 'image/fake' AS media_type, n_bytes,
+        |  CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(64 + h % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (h >> 10) % 1024 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeStub(s, Multimodal.attachBlob(t(s, dir, "documents")))
         .toDF()
         .orderBy("doc_id")

@@ -130,27 +130,54 @@ class PlanAuditSpec extends SparkSpec {
     // pattern — a 1-row broadcast build side costs nothing at any scale).
     val intentional = Set(
       "sim_cosine_topk", "sim_quantized_topk", // broadcast query set × one corpus scan
-      "sim_ann_ivf", "dedup_embedding_cosine",
+      "sim_ann_ivf", "sim_ann_ivf_fixed", "dedup_embedding_cosine",
       "emb_cluster_assign", // bounded (8-row) centroid cross join
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
-      "dedup_edit_distance", // scoped all-pairs verifier (doc_id < 80)
-      // TotalOrder's triangular prefix-offset join: both sides are the
-      // per-partition totals frame (<= spark.sql.shuffle.partitions rows
-      // at ANY data scale) — metadata-sized by construction
-      "etl_surrogate_keys", "smp_token_budget", "smp_token_shards",
-      "smp_pack_sequences")
+      "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
+    // TotalOrder gates get a SCOPED exemption, not a whole-query one: the
+    // only admissible nested-loop join in their plans is the triangular
+    // prefix-offset join over the per-partition totals frame (condition on
+    // _pid; <= spark.sql.shuffle.partitions rows at ANY data scale). A
+    // future accidental cross join elsewhere in those plans still flags.
+    val totalOrderGates = Set("etl_surrogate_keys", "smp_token_budget",
+      "smp_token_shards", "smp_pack_sequences")
+    def isPidTriangular(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      cond.exists(_.references.forall(_.name == "_pid"))
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
-        val plan = q.run(spark, dir).queryExecution.sparkPlan.toString
-        val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-          .filter(plan.contains)
+        val plan = q.run(spark, dir).queryExecution.sparkPlan
+        val flags = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+              if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>
+            "BroadcastNestedLoopJoin"
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec
+              if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>
+            "CartesianProduct"
+        }
         if (flags.nonEmpty) Some(s"${q.name}: ${flags.mkString(",")}") else None
       }
     assert(offenders.isEmpty,
       "queries planning nested-loop joins:\n" + offenders.mkString("\n"))
+  }
+
+  test("dedup_containment_prefix: equi-join candidates, no forced broadcast") {
+    // the prefix-filter pipeline's scale contract: candidate generation is
+    // a token equi-join and the verification joins carry no broadcast
+    // hint — with broadcast thresholds at -1 (simulating a 100 TB build
+    // side) the whole plan must degrade to shuffled equi-joins, never a
+    // nested-loop or a still-broadcast join
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val plan = planWithBroadcastDisabled(
+      graft.operators.Dedup.containmentPairsPrefix(
+        graft.operators.Dedup.tokenSet(docs, "doc_id", "text"), 0.8))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "containment-prefix joins must not be forced-broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      "containment-prefix candidates must come from an equi-join:\n" + plan.take(3000))
   }
 
   test("new text ops prune the documents scan to (doc_id, text)") {

@@ -140,4 +140,28 @@ class ScaleSpec extends SparkSpec {
     assert(cum32 === cum5 && cum32 === cum1, "running sum depends on partitioning")
     assert(rn32 === rn5 && rn32 === rn1, "row number depends on partitioning")
   }
+
+  test("TotalOrder under adversarial key skew: correct when the range " +
+      "partitioner degenerates") {
+    // keys clustered so tightly that the reservoir sampler may put nearly
+    // everything into one range partition (a huge dense run + sparse
+    // outliers), plus pathological input partitioning. The audit pins the
+    // plan SHAPE; this pins the semantics under skew: output must equal
+    // the single-partition-window ground truth computed driver-side.
+    import spark.implicits._
+    val keys = (0L until 2000L).map(i => 1000000L + i) ++ // dense run
+      Seq(1L, 2L, 5L) ++ Seq(9000000000L, 9000000001L)    // sparse outliers
+    val weights = keys.map(k => (k, k % 7 + 1))
+    val df = weights.toDF("k", "w").repartition(64) // scatter input
+    val rn = graft.operators.TotalOrder.globalRowNumber(df, "k", "rn")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rn")).toMap
+    val cum = graft.operators.TotalOrder.globalCumSum(df, "k", "w", "cum")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    val sorted = weights.sortBy(_._1)
+    val expectRn = sorted.zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
+    var running = 0L
+    val expectCum = sorted.map { case (k, w) => running += w; k -> running }.toMap
+    assert(rn === expectRn, "row numbers wrong under key skew")
+    assert(cum === expectCum, "running sums wrong under key skew")
+  }
 }

@@ -74,4 +74,20 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() === 6)
     assert(back.filter(col("CURRENCY_NAME") === "0").count() === 6)
   }
+
+  test("sink caps writer parallelism (connection count) at numWriters") {
+    setup
+    // a frame arriving with many partitions must be coalesced before the
+    // JDBC write — each writer partition opens its own connection, so the
+    // cap IS the warehouse connection bound at any input partitioning
+    val sink = new JdbcWarehouseSink(url, props, batchSize = 2, numWriters = 4)
+    val wide = DimBuilders.dimCurrency(Fixtures.currency(spark)).repartition(32)
+    assert(sink.writerFrame("dim_currency", wide).rdd.getNumPartitions <= 4)
+    // narrow frames keep their (already-bounded) parallelism: no repartition
+    val narrow = DimBuilders.dimCurrency(Fixtures.currency(spark)).repartition(2)
+    assert(sink.writerFrame("dim_currency", narrow).rdd.getNumPartitions === 2)
+    // and the capped write still lands correctly
+    sink.append("dim_currency", wide)
+    assert(spark.read.jdbc(url, "dim_currency", props).count() >= 3)
+  }
 }
