@@ -28,8 +28,15 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // dev A/B knob: parallelismFirst=false lets AQE honor the advisory
+      // partition size instead of the default parallelism, collapsing
+      // tiny shuffles to few tasks (the Spark docs' recommended prod
+      // setting); default stays true pending measurement
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
       // size-gated broadcast, not hints: the minhash verification join's
       // build side (per-doc token arrays) is ~10-15 MB at bench sf — just
       // over the 10 MB default, under which AQE shuffles the near-quadratic
@@ -43,17 +50,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm every query once at the smallest sf: plan shapes are identical
-    // across sfs, so this compiles all generated code (Janino cache) and
-    // JIT-warms the hot loops — measured times then reflect data-dependent
-    // work, not first-run compilation (observed: 60s+ of first-run
-    // overhead on the shuffle-heavy near-dup query without this).
+    // Warm every query once AT THE MEASURED SF, then measure: compiles all
+    // generated code (Janino cache) and JIT-warms the hot loops, so
+    // measured times reflect steady-state data-dependent work, not
+    // first-run compilation. Warming must use the same sf as measurement:
+    // AQE makes size-dependent plan decisions (coalesce counts, runtime
+    // broadcasts), so a smaller warm sf compiles DIFFERENT generated code
+    // and the measured run still pays Janino+JIT — measured 22% of a
+    // mixed-query subset's total at sf0.1 (r6), on top of the 60s+
+    // first-run overhead the warm pass has always absorbed.
     // dev-only subset filter (the driver never sets this)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.allQueries
       .filter(q => only.forall(_.contains(q.name)))
 
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMDIR", sfDir)
     queries.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // bound storage across the warm sweep

@@ -254,9 +254,12 @@ object Dedup {
       shingleN: Int = 1): DataFrame = {
     // shingleN = 1: word-set MinHash; >= 2: the shingle→minhash→band→
     // bucket-join pipeline over n-word shingles (stricter near-dup notion)
-    val sets =
+    // the token/shingle frame feeds both the sketch aggregation and the
+    // verification arrays — materialize it once (same lifecycle as the
+    // band cache below)
+    val sets = CacheOnce(
       if (shingleN <= 1) tokenSet(df, idCol, textCol)
-      else shingleSet(df, idCol, textCol, shingleN)
+      else shingleSet(df, idCol, textCol, shingleN))
     // cache the band frame: it feeds BOTH sides of the candidate self-join,
     // and without materialization the whole tokenize→minhash→band pipeline
     // executes twice (exchange reuse does not survive the self-join
@@ -304,13 +307,27 @@ object Dedup {
 
   /** Engine-portable MinHash hash family: h_i(w) = first 15 hex chars of
     * md5("i|w") as a 60-bit integer. Any engine with md5 reproduces it
-    * (the DuckDB oracle does), unlike xxhash64 — used by
-    * [[minhashNearDupsPortable]] so the WHOLE sketch pipeline lands under
-    * a hash-checked gate. Slower than xxhash64; the production path keeps
-    * the native sketch aggregate. */
+    * (the DuckDB oracle does), unlike xxhash64. Kept as the simple
+    * one-seed-per-permutation form; [[minhashNearDupsPortable]] uses the
+    * cheaper one-digest affine family below (one md5 per token instead of
+    * numHashes). */
   def md5TokenHash(w: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), w)), 1, 15), 16, 10)
       .cast("long")
+
+  /** Engine-portable MinHash family v2 — ONE digest per token + k
+    * universal affine transforms (the classic Broder/Carter–Wegman
+    * construction every production MinHash uses): base b(w) =
+    * 60-bit-md5(w) mod p, h_i(w) = (a_i·b + c_i) mod p with p = 2^31 − 1.
+    * Every product stays under 2^62, so the arithmetic is exact in 64-bit
+    * integers in ANY engine — the DuckDB oracle replays it verbatim —
+    * while the sketch computes numHashes× fewer digests (the digest was
+    * the dominant sketch cost: 64 md5s per token → 1). The constants are
+    * fixed functions of i so the Spark plan and the SQL twin cannot
+    * drift. */
+  val minhashP = 2147483647L // 2^31 − 1 (Mersenne)
+  def affineA(i: Int): Long = (2L * i + 1L) * 2654435761L % minhashP // odd × Knuth
+  def affineC(i: Int): Long = (i.toLong * 40503L + 17L) % minhashP
 
   /** MinHash+LSH near-dup pipeline over the md5 hash family, with the
     * band hash likewise portable (md5 of the comma-joined band slice).
@@ -321,11 +338,18 @@ object Dedup {
     * exactly the right pairs. */
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sets = tokenSet(df, idCol, textCol)
+    // materialized once: feeds the signature agg AND the verification
+    // arrays (and `df` itself may be an expensive upstream composite)
+    val sets = CacheOnce(tokenSet(df, idCol, textCol))
+    // one md5 per token; the numHashes permutations are affine transforms
+    // of the base hash (see affineA/affineC above)
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5TokenHash(col("w"), i)).as(s"sig_$i")) :+
+      min((lit(affineA(i)) * col("bh") + lit(affineC(i))) % minhashP)
+        .as(s"sig_$i")) :+
       count(lit(1)).as("n_toks")
-    val sigs = sets.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = sets
+      .withColumn("bh", graft.operators.Sampling.hash60(col("w")) % minhashP)
+      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // cache, with the harness-scoped lifecycle of [[minhashNearDups]]
     val bandsDf = CacheOnce(bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),

@@ -95,8 +95,12 @@ object TextOps {
     * pairs per fingerprint are bounded by maxDf². */
   def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame = {
-    val fps = winnow(df, idCol, textCol, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // materialize the fingerprint frame once: it feeds the df-cut AND both
+    // sides of the candidate self-join — uncached, the full winnow
+    // pipeline (explode + window + argmin agg) would run three times
+    // (same lifecycle as the minhash band cache: harness clearCache())
+    val fps = CacheOnce(winnow(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct())
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val f = fps.join(rare, Seq("fp"))

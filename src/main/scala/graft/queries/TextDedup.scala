@@ -792,7 +792,11 @@ object TextDedup {
         .select("doc_id", "text", "n_tokens")
       val keepIds = quality.groupBy("text")
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val eligible = quality.join(keepIds, Seq("doc_id"))
+      // materialize the cleaned-corpus frame once: it feeds the sketch
+      // pipeline (tokenize + verify) AND the final keep-list anti-join —
+      // uncached, the quality-filter + exact-dedup stages would re-run
+      // for each consumer (harness clearCache() bounds the entry)
+      val eligible = graft.operators.CacheOnce(quality.join(keepIds, Seq("doc_id")))
       val pairs = Dedup.minhashNearDupsPortable(eligible, "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.8)
       Dedup.keepList(eligible, "doc_id", pairs)
@@ -841,8 +845,12 @@ object TextDedup {
   private def minhashSketchCtes(sourceCte: String, numHashes: Int,
       bands: Int): String = {
     val rows = numHashes / bands
+    // one md5 per token (CTE `bh`); permutation i is the affine transform
+    // (a_i·b + c_i) mod p — constants emitted from the SAME functions the
+    // Spark plan uses (Dedup.affineA/affineC), so the twins cannot drift
+    val p = Dedup.minhashP
     val sigCols = (0 until numHashes).map(i =>
-      s"min(('0x' || substring(md5('$i|' || w), 1, 15))::BIGINT) AS sig_$i")
+      s"min((${Dedup.affineA(i)} * bh + ${Dedup.affineC(i)}) % $p) AS sig_$i")
       .mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(r => s"sig_$r")
@@ -852,10 +860,14 @@ object TextDedup {
     s"""w AS (
        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
        |  FROM $sourceCte),
+       |wb AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(w), 1, 15))::BIGINT % $p AS bh
+       |  FROM w),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM w GROUP BY doc_id),
+       |  FROM wb GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
        |cands AS (
