@@ -55,6 +55,10 @@ object Dedup {
     * per-doc count. Quadratic in colliding docs — scope the input (this is
     * the verifier; LSH is the scale path). */
   def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    // NOT cached: this is the SCOPED verifier — measured at sf0.1, a
+    // columnar cache of the string-heavy token frame costs more than the
+    // two extra scans it saves (0.43s → 1.04s); the scale-path pipelines
+    // (minhash/prefix), whose upstream is expensive, do cache
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
       .join(sets.as("b"),
@@ -85,6 +89,7 @@ object Dedup {
     * containment needs an asymmetric candidate scheme (prefix filtering on
     * the contained side). */
   def containmentPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    // not cached — scoped verifier; see jaccardPairs
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
       .join(sets.as("b"),
@@ -549,11 +554,14 @@ object Dedup {
     * complete to d<8 at the cost of 2^8 buckets, i.e. MORE candidates.
     * Pick the narrowest chunking whose guarantee covers the target
     * distance. */
-  def simhashCandidates(signatures: DataFrame,
+  def simhashCandidates(signatures0: DataFrame,
       chunks: Int = 4, bits: Int = 64): DataFrame = {
     require(bits % chunks == 0, s"chunks ($chunks) must divide bits ($bits)")
     val width = bits / chunks
     val mask = (1L << width) - 1
+    // both sides of the chunk self-join re-run the whole signature
+    // pipeline (tokenize + per-bit votes) without one materialization
+    val signatures = CacheOnce(signatures0)
     val chunked = signatures.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("chunk_idx"),
