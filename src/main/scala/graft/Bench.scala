@@ -69,6 +69,10 @@ object Bench {
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // bound storage across the warm sweep
     }
+    // the warm sweep churns the old generation; collect BEFORE measuring
+    // so measured queries don't pay the warm pass's mixed-GC debt
+    System.gc()
+    Thread.sleep(2000)
 
     val loadStart = loadavg()
     var reruns = List.empty[(String, Double, Double)] // name, first, rerun

@@ -21,5 +21,12 @@ for name, sql in sorted(oracle.items()):
         times[name] = round(time.time() - t0, 3)
     except Exception as e:
         times[name] = None
+def loadavg():
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        return -1.0
+
 print(json.dumps({"total": round(sum(v for v in times.values() if v), 2),
+                  "sf_dir": sf_dir, "loadavg_end": loadavg(),
                   "queries": times}))
