@@ -343,8 +343,19 @@ object Dedup {
     * exactly the right pairs. */
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    // materialized once: feeds the signature agg AND the verification
-    // arrays (and `df` itself may be an expensive upstream composite)
+    val (bandsDf, sets) = portableSketch(df, idCol, textCol, numHashes, bands)
+    verifyCandidates(lshCandidates(bandsDf), sets, threshold)
+  }
+
+  /** The portable-family sketch shared by the self-dedup and incremental
+    * pipelines: tokenize → base hash → affine signatures → md5 band
+    * hashes. Returns (band frame, token-set frame); both are materialized
+    * once ([[CacheOnce]], harness-scoped lifecycle) because each feeds
+    * two consumers downstream — and `df` itself may be an expensive
+    * upstream composite. */
+  private def portableSketch(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    // materialized once: feeds the signature agg AND the verification arrays
     val sets = CacheOnce(tokenSet(df, idCol, textCol))
     // one md5 per token; the numHashes permutations are affine transforms
     // of the base hash (see affineA/affineC above)
@@ -355,12 +366,71 @@ object Dedup {
     val sigs = sets
       .withColumn("bh", graft.operators.Sampling.hash60(col("w")) % minhashP)
       .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // cache, with the harness-scoped lifecycle of [[minhashNearDups]]
     val bandsDf = CacheOnce(bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
         (slice, _) => md5(concat_ws(",", slice: _*))))
-    verifyCandidates(lshCandidates(bandsDf), sets, threshold)
+    (bandsDf, sets)
   }
+
+  /** Incremental near-dup matches: a NEW batch against an EXISTING
+    * reference corpus — the nightly-ingest case, where re-dedup-ing the
+    * whole corpus per batch (minhashNearDups over new ∪ corpus) would
+    * redo O(|corpus|²-shaped) work every night. Both sides are sketched
+    * with the portable family, and candidates come from the band
+    * equi-join of NEW bands against CORPUS bands ONLY — no corpus×corpus
+    * pairs are ever generated, so per-batch cost is O(|new| + collisions)
+    * regardless of corpus size. (At deployment scale the corpus band
+    * frame is the precomputed dedup index — amortized across batches;
+    * bucketed/partitioned storage of it is [[IvfIndex]]-shaped.) Returns
+    * (id_new, id_ref, jaccard) for every verified match; doc ids must be
+    * unique ACROSS the two frames (a shared id means "the same document").
+    * Intra-batch duplicates are [[minhashNearDups]]' job on `newDocs`
+    * alone — compose both for the full nightly pass. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val (newBands, newSets) = portableSketch(newDocs, idCol, textCol, numHashes, bands)
+    val (refBands, refSets) = portableSketch(corpus, idCol, textCol, numHashes, bands)
+    val cands = newBands.as("a")
+      .join(refBands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_ref"),
+        col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
+      .distinct()
+    val newArr = newSets.groupBy("doc_id")
+      .agg(collect_set(col("w")).as("toks1"))
+      .withColumnRenamed("doc_id", "id_new")
+    val refArr = refSets.groupBy("doc_id")
+      .agg(collect_set(col("w")).as("toks2"))
+      .withColumnRenamed("doc_id", "id_ref")
+    cands
+      // PPJoin length prune before the wide array joins (see
+      // verifyCandidates) — provably output-preserving
+      .filter(least(col("n1"), col("n2")).cast("double")
+        >= lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+      .drop("n1", "n2")
+      .join(newArr, Seq("id_new"))
+      .join(refArr, Seq("id_ref"))
+      .withColumn("c",
+        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The user-facing incremental dedup: new docs that survive
+    * [[incrementalNearDups]] against the corpus (left-anti on matched
+    * new ids). */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    newDocs.join(
+      incrementalNearDups(newDocs, corpus, idCol, textCol,
+          numHashes, bands, threshold)
+        .select(col("id_new").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Keep-list resolution: given near-dup pairs (id1 < id2), drop every
     * doc that pairs with a smaller-id doc — one-iteration star clustering

@@ -97,6 +97,27 @@ object Sampling {
         (round(row_number().over(win) / w, 6) + lit(0.0)))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, IPL 2006): each row draws u = [[uniform]](key) and
+    * competes with sample key u^(1/w) — the top-k by key is a weighted
+    * random sample without replacement, inclusion probability
+    * proportional to weight. The hash-derived u makes the draw
+    * reproducible across runs, engines, and cluster sizes (the property
+    * `df.sample` lacks), which is what a training-mix needs for
+    * re-runnable corpus builds. Selection is a top-k
+    * (TakeOrderedAndProject) over one scan — never a global sort or a
+    * single-partition window; rows with weight <= 0 are excluded,
+    * matching the estimator's domain. Returns the k sampled rows
+    * (set semantics — re-sort by any key downstream). */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      k: Int): DataFrame =
+    df.withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0)
+      .withColumn("_sk", pow(uniform(col(keyCol)), lit(1.0) / col("_w")))
+      .orderBy(col("_sk").desc, col(keyCol))
+      .limit(k)
+      .drop("_w", "_sk")
+
   /** Greedy sequence packing — the "pack documents into ≤ maxLen-token
     * training sequences" primitive. Docs are taken in `orderCol` order; a
     * doc joins the current sequence unless it would push the token total

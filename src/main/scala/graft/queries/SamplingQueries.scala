@@ -170,6 +170,31 @@ object SamplingQueries {
               TextOps.tokenCount(col("text")).as("n_toks")),
           "doc_id", "n_toks", maxLen = 512L, shardTokens = 5000L)
         .orderBy("doc_id")
+    },
+
+    // ---- Deterministic weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis A-ES): top-50 by u^(1/w) with u a salted
+    // content hash — inclusion probability proportional to weight
+    // (length here), reproducible across runs/engines/cluster sizes.
+    // The oracle replays the draw and the top-k; output is the sampled
+    // SET (id order), so the check pins exactly which docs were drawn.
+    GQuery(
+      "smp_weighted_sample",
+      s"""WITH wdoc AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+         |    ${uniformSql("'ws|' || doc_id")} AS u
+         |  FROM documents),
+         |top AS (
+         |  SELECT doc_id, w FROM wdoc
+         |  ORDER BY pow(u, 1.0 / w) DESC, 'ws|' || doc_id
+         |  LIMIT 50)
+         |SELECT doc_id, CAST(w AS BIGINT) AS weight
+         |FROM top ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("skey", concat(lit("ws|"), col("doc_id")))
+      Sampling.weightedSample(docs, "skey", length(col("text")), 50)
+        .select(col("doc_id"), length(col("text")).cast("long").as("weight"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -802,6 +802,47 @@ object TextDedup {
       Dedup.keepList(eligible, "doc_id", pairs)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // ---- Incremental dedup: a NEW batch (doc_id 300-399) against the
+    // EXISTING corpus (doc_id < 300) — the nightly-ingest case. Candidates
+    // come from the band equi-join of new bands against corpus bands ONLY
+    // (no corpus x corpus work), so per-batch cost is independent of
+    // corpus size; the oracle replays both sketch chains and the
+    // cross-side verification.
+    GQuery(
+      "dedup_incremental",
+      s"""WITH newd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 300 AND doc_id < 400),
+         |refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |${sketchCoreCtes("newd", "_n", 64, 16)},
+         |${sketchCoreCtes("refd", "_r", 64, 16)},
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+         |  FROM bands_n a JOIN bands_r b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+         |inter AS (
+         |  SELECT c.id_new, c.id_ref, count(*) AS c
+         |  FROM cands c
+         |  JOIN w_n a ON a.doc_id = c.id_new
+         |  JOIN w_r b ON b.doc_id = c.id_ref AND a.w = b.w
+         |  GROUP BY c.id_new, c.id_ref),
+         |szn AS (SELECT doc_id, count(*) AS n FROM w_n GROUP BY doc_id),
+         |szr AS (SELECT doc_id, count(*) AS n FROM w_r GROUP BY doc_id)
+         |SELECT id_new, id_ref,
+         |  round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+         |FROM inter
+         |JOIN szn s1 ON s1.doc_id = id_new
+         |JOIN szr s2 ON s2.doc_id = id_ref
+         |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+         |ORDER BY id_new, id_ref""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+          docs.filter(col("doc_id") < 300),
+          "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("id_new", "id_ref")
     }
   )
 
@@ -842,12 +883,14 @@ object TextDedup {
     * min-hashes → md5 band hashes → candidate pairs sharing any band →
     * per-pair intersection counts. Emitted WITHOUT a leading WITH so
     * callers can prepend their own CTEs (quality filter, exact dedup). */
-  private def minhashSketchCtes(sourceCte: String, numHashes: Int,
-      bands: Int): String = {
+  /** The tokenize → base-hash → affine-signature → band-hash CTE chain
+    * for one corpus side, CTE names suffixed so two sides can coexist in
+    * one query (the incremental-dedup oracle). Constants are emitted from
+    * the SAME functions the Spark plan uses (Dedup.affineA/affineC), so
+    * the twins cannot drift. */
+  private def sketchCoreCtes(sourceCte: String, sfx: String,
+      numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
-    // one md5 per token (CTE `bh`); permutation i is the affine transform
-    // (a_i·b + c_i) mod p — constants emitted from the SAME functions the
-    // Spark plan uses (Dedup.affineA/affineC), so the twins cannot drift
     val p = Dedup.minhashP
     val sigCols = (0 until numHashes).map(i =>
       s"min((${Dedup.affineA(i)} * bh + ${Dedup.affineC(i)}) % $p) AS sig_$i")
@@ -855,21 +898,26 @@ object TextDedup {
     val bandSelects = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(r => s"sig_$r")
         .mkString(", ")
-      s"  SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $slice)) AS band_hash FROM sigs"
+      s"  SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $slice)) AS band_hash FROM sigs$sfx"
     }.mkString("\n  UNION ALL\n")
-    s"""w AS (
+    s"""w$sfx AS (
        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
        |  FROM $sourceCte),
-       |wb AS (
+       |wb$sfx AS (
        |  SELECT doc_id,
        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % $p AS bh
-       |  FROM w),
-       |sigs AS (
+       |  FROM w$sfx),
+       |sigs$sfx AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM wb GROUP BY doc_id),
-       |bands AS (
-       |$bandSelects),
+       |  FROM wb$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |$bandSelects)""".stripMargin
+  }
+
+  private def minhashSketchCtes(sourceCte: String, numHashes: Int,
+      bands: Int): String = {
+    s"""${sketchCoreCtes(sourceCte, "", numHashes, bands)},
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b

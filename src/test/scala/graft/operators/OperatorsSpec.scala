@@ -53,6 +53,65 @@ class OperatorsSpec extends SparkSpec {
       s"portable LSH recall ${port.size}/${exact.size}")
   }
 
+  test("incremental dedup: matches are exact cross-pairs, survivors disjoint") {
+    val newDocs = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val corpus = docs.filter(col("doc_id") < 100)
+    // exact cross-side truth: jaccard over every (new, corpus) pair
+    val nSets = Dedup.tokenSet(newDocs, "doc_id", "text")
+    val cSets = Dedup.tokenSet(corpus, "doc_id", "text")
+    val nArr = nSets.groupBy("doc_id").agg(collect_set(col("w")).as("t1"))
+    val cArr = cSets.groupBy("doc_id").agg(collect_set(col("w")).as("t2"))
+    val exact = nArr.as("a").crossJoin(cArr.as("b"))
+      .withColumn("c", graft.functions.GraftFunctions.intersectCount(col("t1"), col("t2")))
+      .withColumn("j", col("c").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("c")).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val matches = Dedup.incrementalNearDups(newDocs, corpus,
+        "doc_id", "text", 64, 16, 0.8)
+      .select("id_new", "id_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.subsetOf(exact), "verified matches must be true pairs")
+    assert(exact.nonEmpty)
+    assert(matches.size.toDouble / exact.size >= 0.9,
+      s"incremental recall ${matches.size}/${exact.size}")
+    // no corpus-side ids ever appear on the new side
+    assert(matches.forall { case (n, _) => n >= 100 && n < 150 })
+
+    val survivors = Dedup.dedupAgainstCorpus(newDocs, corpus,
+        "doc_id", "text", 64, 16, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = matches.map(_._1)
+    assert(survivors.intersect(dropped).isEmpty)
+    assert(survivors.union(dropped)
+      === newDocs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("weighted sample: deterministic, k rows, weight-dominant doc included") {
+    val base = docs.limit(100)
+      .withColumn("skey", concat(lit("ws|"), col("doc_id")))
+    def run() = Sampling.weightedSample(base, "skey", length(col("text")), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = run()
+    assert(s1.size === 20)
+    assert(s1 === run(), "hash-derived draw must be reproducible")
+    // a doc with overwhelming weight is (near-)surely included:
+    // u^(1/w) -> 1 as w -> inf while everyone else stays strictly below
+    val boosted = base.withColumn("wt",
+      when(col("doc_id") === 7, lit(1e12)).otherwise(lit(1.0)))
+    val heavy = Sampling.weightedSample(boosted, "skey", col("wt"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(heavy.contains(7L), s"dominant-weight doc missing from $heavy")
+    // zero/negative weights are excluded from the draw entirely
+    val zeroed = base.withColumn("wt",
+      when(col("doc_id") < 50, lit(0.0)).otherwise(lit(1.0)))
+    val nz = Sampling.weightedSample(zeroed, "skey", col("wt"), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nz.forall(_ >= 50))
+  }
+
   test("keepList drops exactly the min-id-dominated docs") {
     val scoped = docs.filter(col("doc_id") < 100)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
