@@ -353,8 +353,8 @@ object Dedup {
     * once ([[CacheOnce]], harness-scoped lifecycle) because each feeds
     * two consumers downstream — and `df` itself may be an expensive
     * upstream composite. */
-  private def portableSketch(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+  private[operators] def portableSketch(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     // materialized once: feeds the signature agg AND the verification arrays
     val sets = CacheOnce(tokenSet(df, idCol, textCol))
     // one md5 per token; the numHashes permutations are affine transforms
@@ -404,6 +404,15 @@ object Dedup {
     val refArr = refSets.groupBy("doc_id")
       .agg(collect_set(col("w")).as("toks2"))
       .withColumnRenamed("doc_id", "id_ref")
+    crossVerify(cands, newArr, refArr, threshold)
+  }
+
+  /** Exact-Jaccard verification of CROSS-side candidate pairs — the tail
+    * shared by [[incrementalNearDups]] and [[BandIndex.matches]].
+    * `cands`: (id_new, id_ref, n1, n2); `newArr`: (id_new, toks1);
+    * `refArr`: (id_ref, toks2). */
+  private[operators] def crossVerify(cands: DataFrame, newArr: DataFrame,
+      refArr: DataFrame, threshold: Double): DataFrame =
     cands
       // PPJoin length prune before the wide array joins (see
       // verifyCandidates) — provably output-preserving
@@ -418,7 +427,6 @@ object Dedup {
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_ref"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** The user-facing incremental dedup: new docs that survive
     * [[incrementalNearDups]] against the corpus (left-anti on matched
