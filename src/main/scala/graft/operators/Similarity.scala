@@ -261,6 +261,30 @@ object Similarity {
     rerankTopK(cells.join(broadcast(probes), Seq("cell")), k, "qe", "cemb")
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions: y_j =
+    * dot(x, r_j) · sqrt(3/k) over the seeded uniform [[hyperplanes]]
+    * (entries U[-1,1), variance 1/3 — the sqrt(3/k) scale makes
+    * E‖y‖² = ‖x‖², the JL distance-preservation normalization). The
+    * cheap dimensionality-reduction pass an embedding pipeline runs
+    * before clustering / coarse ANN when the full dim is overkill.
+    * Per-row column algebra (k·dim multiplies), no shuffle; planes are
+    * seeded literals, so the projection is reproducible across runs and
+    * engines and the whole op is oracle-replayable (gate
+    * emb_random_projection inlines the planes as SQL literals). Returns
+    * (vec_id, j, v): one row per output component — kept long-form so
+    * downstream aggs stay column-algebraic. */
+  def randomProjection(vectors: DataFrame, k: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(k, dim, seed)
+    val scale = math.sqrt(3.0 / k)
+    val comps = planes.map { p =>
+      dot(col("embedding"), array(p.map(lit): _*)) * lit(scale)
+    }
+    vectors
+      .select(col("vec_id"), posexplode(array(comps: _*)).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+  }
+
   /** Symmetric per-vector int8 quantization (the ANN-index compression
     * primitive): scale = max|x|/127, q_i = round(x_i/scale). 4× smaller
     * index, dequant error ≤ scale/2 per component (spec-asserted). Pure

@@ -174,6 +174,17 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ---- Johnson–Lindenstrauss random projection 64 → 8 dims. The
+    // seeded planes become SQL array literals (shortest-round-trip double
+    // rendering parses back to the identical double), so DuckDB replays
+    // every projected component; long-form output keeps cells sortable.
+    GQuery("emb_random_projection", randomProjectionOracle(k = 8)) { (s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), k = 8, dim = dim)
+        .select(col("vec_id"), col("j"),
+          (round(col("v"), 4) + lit(0.0)).as("v"))
+        .orderBy("vec_id", "j")
+    },
+
     // ---- Vector norms + array access (array function surface with oracle).
     GQuery(
       "emb_norms",
@@ -358,6 +369,24 @@ object SimilarityQueries {
        |SELECT query_id, cand_id, round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
        |FROM r WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.randomProjection]]: planes inlined as
+    * literals, components zipped with their index via parallel unnest. */
+  private def randomProjectionOracle(k: Int): String = {
+    val planes = Similarity.hyperplanes(k, dim)
+    val scale = math.sqrt(3.0 / k)
+    val comps = planes.map { p =>
+      s"list_inner_product(CAST(embedding AS DOUBLE[]), [${p.mkString(", ")}]) * $scale"
+    }.mkString(",\n      ")
+    val idx = (0 until k).mkString(", ")
+    s"""SELECT vec_id, CAST(j AS BIGINT) AS j, round(v, 4) + 0.0 AS v
+       |FROM (
+       |  SELECT vec_id,
+       |    unnest([$comps]) AS v,
+       |    unnest([$idx]) AS j
+       |  FROM embeddings)
+       |ORDER BY vec_id, j""".stripMargin
   }
 
   /** DuckDB replay of [[Similarity.bucketHistogram]]: the seeded

@@ -112,6 +112,24 @@ class OperatorsSpec extends SparkSpec {
     assert(nz.forall(_ >= 50))
   }
 
+  test("random projection: deterministic, JL norm preserved on average") {
+    def norms(k: Int) = Similarity.randomProjection(emb, k, 64)
+      .groupBy("vec_id").agg(sum(col("v") * col("v")).as("p2"))
+    val p2 = norms(8).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val x2 = emb.select(col("vec_id"),
+        (Similarity.l2norm(col("embedding"))
+          * Similarity.l2norm(col("embedding"))).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // E||y||^2 = ||x||^2 under the sqrt(3/k) scale; at k=8 individual
+    // ratios are noisy but the corpus mean concentrates near 1
+    val ratios = p2.map { case (id, p) => p / x2(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean outside JL band")
+    // seeded planes -> bit-reproducible across runs
+    val again = norms(8).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === p2)
+  }
+
   test("keepList drops exactly the min-id-dominated docs") {
     val scoped = docs.filter(col("doc_id") < 100)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
