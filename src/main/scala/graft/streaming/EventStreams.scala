@@ -131,6 +131,30 @@ object EventStreams {
       joinCol: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinCol))
 
+  /** Streaming NEAR-dup dedup against a persisted corpus index
+    * ([[graft.operators.BandIndex]]): each micro-batch of incoming
+    * documents is sketched and checked via `foreachBatch`, and only the
+    * surviving (non-near-dup) docs reach `sink` — the streaming form of
+    * the nightly incremental dedup. foreachBatch is the right tool, not a
+    * stateful streaming agg: the MinHash signature is a per-doc
+    * aggregation over exploded tokens and the verification is a batch
+    * join against the index — both batch-shaped — while the stream only
+    * provides arrival batching. The corpus index stays bucketed on disk,
+    * so per-trigger cost is proportional to the batch, independent of
+    * corpus size (same property as the batch path, spec-pinned there).
+    * Returns the started query; caller owns its lifecycle. */
+  def dedupAgainstIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double, indexName: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.BandIndex.dedupAgainst(
+            batch, idCol, textCol, numHashes, bands, threshold, indexName))
+      }
+      .start()
+
   /** Micro-batch file ingestion: the streaming analogue of the reference's
     * timer-driven extract — new parquet files under `dir` are picked up
     * `maxFilesPerTrigger` at a time with exactly-once tracking in the

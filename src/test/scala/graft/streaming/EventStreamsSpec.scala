@@ -182,4 +182,42 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.read.parquet(out).count() === 3)
     } finally q.stop()
   }
+
+  test("streaming near-dup dedup against the persisted index == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+    graft.operators.BandIndex.build(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "sidx")
+
+    val batch1 = docs.filter(org.apache.spark.sql.functions.col("doc_id")
+        .between(100, 124))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val batch2 = docs.filter(org.apache.spark.sql.functions.col("doc_id")
+        .between(125, 149))
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupAgainstIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.8, indexName = "sidx",
+      sink = kept => survivors.synchronized {
+        survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+      })
+    try {
+      mem.addData(batch1.toSeq); q.processAllAvailable()
+      mem.addData(batch2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = graft.operators.Dedup.dedupAgainstCorpus(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id")
+          .between(100, 149)),
+        corpus, "doc_id", "text", 64, 16, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.toSet === expected,
+      "per-micro-batch dedup must equal the one-shot batch dedup " +
+        "(batch boundaries cannot change corpus-side matches)")
+  }
 }
