@@ -232,6 +232,24 @@ class PlanAuditSpec extends SparkSpec {
       "prefix offsets must broadcast:\n" + plan.take(3000))
   }
 
+  test("dedup_incremental: cross-side candidates from equi-joins only") {
+    // the nightly-batch contract: new bands against corpus bands is an
+    // equi-join on (band_idx, band_hash); with broadcast disabled
+    // (corpus-scale build sides) no broadcast or nested-loop join may
+    // survive anywhere in the pipeline
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val plan = planWithBroadcastDisabled(
+      graft.operators.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+        docs.filter(col("doc_id") < 100),
+        "doc_id", "text", 64, 16, 0.8))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "incremental dedup joins must not be forced-broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      "incremental candidates must come from equi-joins:\n" + plan.take(3000))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
