@@ -37,6 +37,8 @@ object Bench {
       // setting); default stays true pending measurement
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
       // size-gated broadcast, not hints: the minhash verification join's
       // build side (per-doc token arrays) is ~10-15 MB at bench sf — just
       // over the 10 MB default, under which AQE shuffles the near-quadratic
