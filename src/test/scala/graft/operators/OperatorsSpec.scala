@@ -304,6 +304,17 @@ class OperatorsSpec extends SparkSpec {
     val refinedRecall = (exact & refined).size.toDouble / exact.size
     assert(refinedRecall >= 0.5,
       s"k-means-refined IVF recall@5 $refinedRecall (raw was $recall)")
+
+    // the PORTABLE (md5-sample) quantizer behind the hash-green gate is a
+    // uniform sample like lloydIters = 0 — same recall floor applies
+    val portable = Similarity.ivfTopKPortable(queries, emb,
+        numCentroids = 16, k = 5, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portableRecall = (exact & portable).size.toDouble / exact.size
+    assert(portableRecall >= 0.3,
+      s"portable IVF recall@5 $portableRecall unexpectedly low")
+    assert(portable.nonEmpty)
   }
 
   test("kmeans centroids: deterministic, fixed count, refines assignments") {
