@@ -53,11 +53,19 @@ object BandIndex {
     * (same sketch family, same verification tail — spec-pinned). */
   def matches(newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double, name: String): DataFrame = {
-    val spark = newDocs.sparkSession
-    val refBands = spark.table(s"${name}_bands")
-    val refToks = spark.table(s"${name}_toks")
     val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
       numHashes, bands)
+    matchesFrom(newBands, newSets, threshold, name)
+  }
+
+  /** The index-join tail of [[matches]], split out so callers that own the
+    * sketch-frame lifecycle (the streaming path, which must unpersist per
+    * micro-batch) can pass pre-sketched frames. */
+  private def matchesFrom(newBands: DataFrame, newSets: DataFrame,
+      threshold: Double, name: String): DataFrame = {
+    val spark = newBands.sparkSession
+    val refBands = spark.table(s"${name}_bands")
+    val refToks = spark.table(s"${name}_toks")
     val cands = newBands.as("a")
       .join(refBands.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -80,4 +88,26 @@ object BandIndex {
       matches(newDocs, idCol, textCol, numHashes, bands, threshold, name)
         .select(col("id_new").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Bounded-lifecycle [[dedupAgainst]] for long-running callers
+    * (streaming foreachBatch): runs `use` on the surviving docs, then
+    * unpersists the per-batch sketch frames that
+    * [[Dedup.portableSketch]] cached. A batch caller relies on the
+    * harness-scoped `clearCache()`; a stream has no such scope, so
+    * without this every trigger would leak one band + one token-set
+    * cache entry into the CacheManager for the life of the query. The
+    * corpus side needs no eviction — it lives in the on-disk bucketed
+    * index tables, never the cache. */
+  def dedupAgainstEphemeral(newDocs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, threshold: Double,
+      name: String)(use: DataFrame => Unit): Unit = {
+    val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
+      numHashes, bands)
+    val survivors = newDocs.join(
+      matchesFrom(newBands, newSets, threshold, name)
+        .select(col("id_new").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    try use(survivors)
+    finally { newBands.unpersist(); newSets.unpersist() }
+  }
 }

@@ -238,7 +238,9 @@ object Similarity {
     val centroids = candidates
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
       .withColumn("h", Sampling.hash60(col("centroid_id").cast("string")))
-      .orderBy("h").limit(numCentroids)
+      // centroid_id tie-break: a 60-bit hash collision (or engine-order
+      // instability at the limit boundary) must not flip the sampled set
+      .orderBy(col("h"), col("centroid_id")).limit(numCentroids)
       .drop("h")
     ivfFromCentroids(queries, candidates, centroids, k, nProbe)
   }

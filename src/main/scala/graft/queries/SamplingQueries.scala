@@ -186,6 +186,7 @@ object SamplingQueries {
          |  FROM documents),
          |top AS (
          |  SELECT doc_id, w FROM wdoc
+         |  WHERE w > 0
          |  ORDER BY pow(u, 1.0 / w) DESC, 'ws|' || doc_id
          |  LIMIT 50)
          |SELECT doc_id, CAST(w AS BIGINT) AS weight

@@ -110,7 +110,8 @@ object SimilarityQueries {
       """WITH ranked AS (
         |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
         |  FROM embeddings
-        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    vec_id
         |  LIMIT 16),
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |ca AS (

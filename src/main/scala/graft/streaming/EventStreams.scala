@@ -142,6 +142,10 @@ object EventStreams {
     * provides arrival batching. The corpus index stays bucketed on disk,
     * so per-trigger cost is proportional to the batch, independent of
     * corpus size (same property as the batch path, spec-pinned there).
+    * Per-batch sketch caches are unpersisted after each trigger
+    * ([[graft.operators.BandIndex.dedupAgainstEphemeral]]) — a stream
+    * never reaches the batch harness's per-query `clearCache()`, so the
+    * bounded-lifecycle variant is mandatory here, not an optimization.
     * Returns the started query; caller owns its lifecycle. */
   def dedupAgainstIndexStream(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double, indexName: String,
@@ -150,8 +154,8 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          sink(graft.operators.BandIndex.dedupAgainst(
-            batch, idCol, textCol, numHashes, bands, threshold, indexName))
+          graft.operators.BandIndex.dedupAgainstEphemeral(
+            batch, idCol, textCol, numHashes, bands, threshold, indexName)(sink)
       }
       .start()
 

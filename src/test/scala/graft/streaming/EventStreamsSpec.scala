@@ -206,10 +206,17 @@ class EventStreamsSpec extends SparkSpec {
       sink = kept => survivors.synchronized {
         survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
       })
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     try {
       mem.addData(batch1.toSeq); q.processAllAvailable()
       mem.addData(batch2.toSeq); q.processAllAvailable()
     } finally q.stop()
+    // lifecycle pin: each trigger sketches the batch through cached
+    // frames (portableSketch), and the ephemeral path must unpersist
+    // them — a long-running stream must not grow the CacheManager by
+    // one-plus entries per trigger
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "per-batch sketch caches must be unpersisted after each trigger")
 
     val expected = graft.operators.Dedup.dedupAgainstCorpus(
         docs.filter(org.apache.spark.sql.functions.col("doc_id")

@@ -13,6 +13,15 @@ for t in ["region","nation","customer","supplier","part","orders",
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracle = json.load(open(oracle_path))
+# Warm pass mirroring graft.Bench: run each SQL once unmeasured so the
+# timed pass compares warm-vs-warm (Spark's bench warms every query at
+# the measured sf before timing; timing DuckDB cold would bias the ratio
+# in Spark's favor).
+for name, sql in sorted(oracle.items()):
+    try:
+        con.execute(sql).fetchall()
+    except Exception:
+        pass
 times = {}
 for name, sql in sorted(oracle.items()):
     t0 = time.time()
