@@ -342,8 +342,10 @@ object Dedup {
     * produced exactly the right candidate set AND the verification kept
     * exactly the right pairs. */
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val (bandsDf, sets) = portableSketch(df, idCol, textCol, numHashes, bands)
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleN: Int = 1): DataFrame = {
+    val (bandsDf, sets) =
+      portableSketch(df, idCol, textCol, numHashes, bands, shingleN)
     verifyCandidates(lshCandidates(bandsDf), sets, threshold)
   }
 
@@ -354,9 +356,12 @@ object Dedup {
     * two consumers downstream — and `df` itself may be an expensive
     * upstream composite. */
   private[operators] def portableSketch(df: DataFrame, idCol: String,
-      textCol: String, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+      textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int = 1): (DataFrame, DataFrame) = {
     // materialized once: feeds the signature agg AND the verification arrays
-    val sets = CacheOnce(tokenSet(df, idCol, textCol))
+    val sets = CacheOnce(
+      if (shingleN > 1) shingleSet(df, idCol, textCol, shingleN)
+      else tokenSet(df, idCol, textCol))
     // one md5 per token; the numHashes permutations are affine transforms
     // of the base hash (see affineA/affineC above)
     val sigAggs = (0 until numHashes).map(i =>

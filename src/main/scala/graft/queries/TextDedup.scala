@@ -371,6 +371,21 @@ object TextDedup {
         .orderBy("id1", "id2")
     },
 
+    // ---- Engine-portable SHINGLE-mode MinHash+LSH: the twin that puts
+    // the shingle→minhash→band→bucket-join pipeline (dedup_minhash_shingle
+    // above, rows-only by xxhash64) under a hash-checked oracle — same
+    // 2-word shingles, same affine family, same banding and verification,
+    // all replayed in SQL.
+    GQuery("dedup_shingle_portable",
+      minhashPortableOracle(scopeLim = 300, numHashes = 64, bands = 16,
+        threshold = 0.25, shingleN = 2)) { (s, dir) =>
+      Dedup.minhashNearDupsPortable(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.25,
+          shingleN = 2)
+        .orderBy("id1", "id2")
+    },
+
     // ---- Keep-list resolution: which docs survive near-dup removal
     // (greedy min-id representative over word-set Jaccard >= 0.8 pairs).
     GQuery(
@@ -889,7 +904,7 @@ object TextDedup {
     * the SAME functions the Spark plan uses (Dedup.affineA/affineC), so
     * the twins cannot drift. */
   private def sketchCoreCtes(sourceCte: String, sfx: String,
-      numHashes: Int, bands: Int): String = {
+      numHashes: Int, bands: Int, shingleN: Int = 1): String = {
     val rows = numHashes / bands
     val p = Dedup.minhashP
     val sigCols = (0 until numHashes).map(i =>
@@ -900,9 +915,25 @@ object TextDedup {
         .mkString(", ")
       s"  SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $slice)) AS band_hash FROM sigs$sfx"
     }.mkString("\n  UNION ALL\n")
-    s"""w$sfx AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-       |  FROM $sourceCte),
+    // shingle mode replays Dedup.shingleSet: n-token windows joined with
+    // ' ' (docs shorter than n tokens yield no shingles — generate_series
+    // with a non-positive stop is empty, matching the Spark size filter)
+    val wCte =
+      if (shingleN == 1)
+        s"""w$sfx AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |  FROM $sourceCte)""".stripMargin
+      else
+        s"""shtok$sfx AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM $sourceCte),
+           |w$sfx AS (
+           |  SELECT DISTINCT doc_id,
+           |    array_to_string(t[i:i+${shingleN - 1}], ' ') AS w
+           |  FROM (SELECT doc_id, t,
+           |          unnest(generate_series(1, len(t) - ${shingleN - 1})) AS i
+           |        FROM shtok$sfx) x)""".stripMargin
+    s"""$wCte,
        |wb$sfx AS (
        |  SELECT doc_id,
        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % $p AS bh
@@ -916,8 +947,8 @@ object TextDedup {
   }
 
   private def minhashSketchCtes(sourceCte: String, numHashes: Int,
-      bands: Int): String = {
-    s"""${sketchCoreCtes(sourceCte, "", numHashes, bands)},
+      bands: Int, shingleN: Int = 1): String = {
+    s"""${sketchCoreCtes(sourceCte, "", numHashes, bands, shingleN)},
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
@@ -936,10 +967,10 @@ object TextDedup {
     * the sketch CTE chain over a doc_id-scoped corpus + the Jaccard
     * verification select. */
   private def minhashPortableOracle(scopeLim: Int, numHashes: Int,
-      bands: Int, threshold: Double): String =
+      bands: Int, threshold: Double, shingleN: Int = 1): String =
     s"""WITH scope AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < $scopeLim),
-       |${minhashSketchCtes("scope", numHashes, bands)}
+       |${minhashSketchCtes("scope", numHashes, bands, shingleN)}
        |SELECT id1, id2,
        |  round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
        |FROM inter
