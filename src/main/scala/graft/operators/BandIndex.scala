@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * This is the batch analogue of [[IvfIndex]]'s persisted-cells layout
   * (there: hive-partitioned for partition pruning; here: bucketed for
   * exchange-free equi-joins — the join key is high-cardinality, so
-  * bucketing, not partitioning, is the right layout). Rebuild = `build`
-  * with overwrite; appending a deduped batch to the index is the same
-  * `build` over the union at the next compaction.
+  * bucketing, not partitioning, is the right layout). Nightly
+  * maintenance: [[append]] hashes just the new batch into the bucket
+  * layout (corpus files untouched), and [[compact]] periodically folds
+  * the accumulated file-sets back to one sorted file per bucket with a
+  * shuffle-free rewrite.
   *
   * A BandIndexSpec pins (a) result parity with the index-free
   * [[Dedup.incrementalNearDups]] and (b) that the corpus band scan is
@@ -33,18 +35,86 @@ object BandIndex {
   /** Sketch `corpus` with the portable family and persist the two index
     * tables under `name` (`spark.sql.warehouse.dir` / session catalog). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, buckets: Int, name: String): Unit = {
-    val (bandsDf, sets) = Dedup.portableSketch(corpus, idCol, textCol,
+      numHashes: Int, bands: Int, buckets: Int, name: String): Unit =
+    writeIndex(corpus, idCol, textCol, numHashes, bands, buckets, name,
+      mode = "overwrite")
+
+  /** Incremental index maintenance: sketch ONLY `batch` and append its
+    * bands/token-sets to the existing index tables. The write hashes the
+    * batch into the tables' bucket layout — the corpus files are never
+    * read, rewritten, or reshuffled (spec-pinned via the file listing),
+    * so nightly cost is O(|batch|) regardless of index size. `buckets`
+    * must match the build-time value (Spark rejects a mismatched bucket
+    * spec on append). Each append lands one file-set per bucket; run
+    * [[compact]] periodically to fold them back to one file per bucket
+    * and restore the per-file sort. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, buckets: Int, name: String): Unit =
+    writeIndex(batch, idCol, textCol, numHashes, bands, buckets, name,
+      mode = "append")
+
+  private def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, buckets: Int, name: String,
+      mode: String): Unit = {
+    val (bandsDf, sets) = Dedup.portableSketch(docs, idCol, textCol,
       numHashes, bands)
-    bandsDf.write.mode("overwrite")
-      .bucketBy(buckets, "band_idx", "band_hash")
-      .sortBy("band_idx", "band_hash")
-      .saveAsTable(s"${name}_bands")
-    sets.groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${name}_toks")
+    try {
+      bandsDf.write.mode(mode)
+        .bucketBy(buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable(s"${name}_bands")
+      sets.groupBy("doc_id")
+        .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks"))
+        .write.mode(mode)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${name}_toks")
+    } finally {
+      // deployment lifecycle: build/append run outside the query
+      // harness, so the sketch caches must not outlive the write
+      bandsDf.unpersist(); sets.unpersist()
+    }
+  }
+
+  /** Fold the file-sets accumulated by [[append]] back to one file per
+    * bucket. The rewrite is shuffle-free: a bucketed scan already yields
+    * exactly one partition per bucket (all of a bucket's files coalesced),
+    * and the bucketed write assigns each row back to that same bucket —
+    * so each task streams one bucket to one file, with only the per-file
+    * sort in between. The corpus passes through executors once; nothing
+    * is collected. Rewrite goes to a temp table then swaps via rename, so
+    * a crash mid-compact leaves the original index intact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, buckets: Int,
+      name: String): Unit = {
+    rewriteOneTable(spark, s"${name}_bands", buckets,
+      Seq("band_idx", "band_hash"))
+    rewriteOneTable(spark, s"${name}_toks", buckets, Seq("doc_id"))
+  }
+
+  private def rewriteOneTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val tmp = s"${table}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // Force the bucketed scan for the rewrite: with auto-bucketed-scan
+    // (the default) Spark drops bucketing when no operator consumes the
+    // partitioning — a scan→write has none — and the resulting
+    // split-based tasks each hold rows of MANY buckets, writing one file
+    // per (task, bucket) and defeating the compaction. The bucketed scan
+    // yields exactly one partition per bucket, so each task streams its
+    // bucket to a single file with no exchange.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "false")
+    try
+      spark.table(table).write
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(tmp)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Verified near-dup matches of a new batch against the persisted

@@ -44,4 +44,64 @@ class BandIndexSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sIdx === sDirect)
   }
+
+  private def tableFiles(table: String): Set[String] = {
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location").head.getString(1)
+    val d = new java.io.File(new java.net.URI(loc))
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+  }
+
+  test("append == build over the union; corpus files untouched; compact folds files") {
+    val c1 = docs.filter(col("doc_id") < 80)
+    val c2 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 130)
+    val probe = docs.filter(col("doc_id") >= 130 && col("doc_id") < 180)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // reference: one-shot build over the full corpus
+    BandIndex.build(c1.unionByName(c2), "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "uidx")
+    val expected = rows(BandIndex.matches(probe, "doc_id", "text",
+      64, 16, 0.8, "uidx"))
+    assert(expected.nonEmpty)
+
+    // incremental: build(c1) then append(c2)
+    BandIndex.build(c1, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "aidx")
+    val before = tableFiles("aidx_bands")
+    BandIndex.append(c2, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "aidx")
+    val after = tableFiles("aidx_bands")
+
+    // append only ADDS files — the corpus side is never rewritten or
+    // reshuffled, so nightly cost stays O(|batch|) at any index size
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"append must add files without touching existing ones: " +
+        s"before=$before after=$after")
+    assert(rows(BandIndex.matches(probe, "doc_id", "text",
+      64, 16, 0.8, "aidx")) === expected,
+      "build(c1) + append(c2) must match build(c1 union c2)")
+
+    // compact folds the per-append file-sets to one file per bucket and
+    // preserves both content and the bucketed layout
+    val nBands = spark.table("aidx_bands").count()
+    val nToks = spark.table("aidx_toks").count()
+    BandIndex.compact(spark, buckets = 8, name = "aidx")
+    assert(tableFiles("aidx_bands").size <= 8 &&
+      tableFiles("aidx_bands").size < after.size,
+      "compact must fold append file-sets to at most one file per bucket")
+    assert(spark.table("aidx_bands").count() === nBands)
+    assert(spark.table("aidx_toks").count() === nToks)
+    val viaCompacted = BandIndex.matches(probe, "doc_id", "text",
+      64, 16, 0.8, "aidx")
+    assert(rows(viaCompacted) === expected)
+    viaCompacted.collect()
+    assert(viaCompacted.queryExecution.executedPlan.toString
+      .contains("Bucketed: true"),
+      "compacted index must still serve bucketed scans")
+  }
 }
