@@ -41,18 +41,30 @@ final class ParquetSource(spark: SparkSession, dir: String) extends OltpSource {
     OltpSource.deltaFilter(full(table), created, updated)
 }
 
-/** Production implementation over JDBC. `partitionColumn` options can be
-  * layered on per-table for parallel scans of large sources; the dimension
-  *-sized totesys tables read fine on one partition each.
+/** Per-table parallel-scan spec for [[JdbcSource]]: Spark's partitioned
+  * JDBC read (stride predicates on a numeric/date/timestamp column, one
+  * remote cursor per partition). The reference's extract is a single
+  * cursor per table (src/extract.py:98-101) — fine for dimension-sized
+  * tables, a bottleneck on a large fact source; this is the scale path. */
+final case class JdbcPartitioning(partitionColumn: String,
+    lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+/** Production implementation over JDBC. Tables listed in `partitioning`
+  * are scanned in parallel (N stride partitions, one remote cursor each);
+  * everything else reads on one partition — the right default for the
+  * dimension-sized totesys tables.
   * Reference parity: table discovery via information_schema
   * (src/extract.py:81-84); SELECT * scans (src/extract.py:98).
   *
   * @param catalogQuery dialect-specific table-listing subquery (one string
   *                     column); defaults to the Postgres information_schema
   *                     form the reference uses
+  * @param partitioning per-table parallel-scan config; absent tables read
+  *                     single-partition
   */
 final class JdbcSource(spark: SparkSession, url: String, props: Properties,
-    catalogQuery: String = JdbcSource.postgresCatalogQuery)
+    catalogQuery: String = JdbcSource.postgresCatalogQuery,
+    partitioning: Map[String, JdbcPartitioning] = Map.empty)
     extends OltpSource {
 
   override def listTables(): Seq[String] =
@@ -64,7 +76,13 @@ final class JdbcSource(spark: SparkSession, url: String, props: Properties,
     * reserved-word table names like the reference's `transaction` legal
     * across dialects. */
   override def full(table: String): DataFrame =
-    spark.read.jdbc(url, "\"" + table + "\"", props)
+    partitioning.get(table) match {
+      case Some(p) =>
+        spark.read.jdbc(url, "\"" + table + "\"", p.partitionColumn,
+          p.lowerBound, p.upperBound, p.numPartitions, props)
+      case None =>
+        spark.read.jdbc(url, "\"" + table + "\"", props)
+    }
 
   override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
     OltpSource.deltaFilter(full(table), created, updated)

@@ -64,6 +64,29 @@ class JdbcSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("partitioned scan plans N stride partitions with identical rows") {
+    setup
+    val par = new JdbcSource(spark, url, props,
+      catalogQuery = JdbcSource.derbyCatalogQuery,
+      partitioning = Map("CURRENCY" ->
+        JdbcPartitioning("CURRENCY_ID", lowerBound = 1, upperBound = 4,
+          numPartitions = 3)))
+    val df = par.full("CURRENCY")
+    // the scan itself is split into stride ranges — N remote cursors in
+    // parallel, not one (the reference's single-cursor extract analogue)
+    assert(df.rdd.getNumPartitions === 3,
+      "partitioned JDBC read must plan numPartitions scan partitions")
+    // stride predicates must not drop or duplicate boundary rows
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+    // unlisted tables keep the single-partition default
+    assert(par.full("DIM_CURRENCY").rdd.getNumPartitions === 1)
+    // the incremental path composes with the partitioned scan
+    val wm = Timestamp.valueOf("2023-01-01 10:00:00")
+    val delta = par.incremental("CURRENCY", wm, wm)
+    assert(delta.rdd.getNumPartitions === 3)
+    assert(delta.collect().map(_.getInt(0)).toSeq === Seq(3))
+  }
+
   test("batched append sink accumulates (reference to_sql parity)") {
     setup
     val sink = new JdbcWarehouseSink(url, props, batchSize = 2)
