@@ -82,19 +82,30 @@ object Sampling {
     * which each source appears at a rate proportional to its weight.
     * Sources absent from `weights` are dropped. One partitioned window
     * (rank within source) — linear, no global window; ties across
-    * sources break on the caller's sort (pos, key). Power-of-two weights
-    * make every position exact in binary, keeping the op bit-reproducible
-    * across engines. */
+    * sources break on the caller's sort (pos, key). Weights MUST be
+    * positive powers of two (1/2, 1/4, 2, ...): only then is every
+    * position k/weight exact in binary, keeping the op bit-reproducible
+    * across engines — any other weight (say 1/3) would float-round the
+    * interleave order silently, so it fails fast instead (same contract
+    * style as [[packSequences]]'s integral-key guard). */
   def interleaveBySource(df: DataFrame, sourceCol: String, keyCol: String,
       weights: Map[String, Double]): DataFrame = {
+    weights.foreach { case (s, wt) =>
+      require(wt > 0 && !wt.isInfinity &&
+        (java.lang.Double.doubleToLongBits(wt) & 0x000fffffffffffffL) == 0L,
+        s"interleaveBySource weight for source '$s' must be a positive " +
+          s"power of two (got $wt): positions are k/weight, exact in " +
+          "binary only for power-of-two weights")
+    }
     val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(acc)
     }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col(keyCol))
+    // no rounding: k/w is exact for power-of-two w (guarded above), and
+    // a round-to-decimals would re-break exactness past 2^6
     df.filter(w > 0)
-      .withColumn("interleave_pos",
-        (round(row_number().over(win) / w, 6) + lit(0.0)))
+      .withColumn("interleave_pos", (row_number().over(win) / w) + lit(0.0))
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–

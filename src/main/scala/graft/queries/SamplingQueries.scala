@@ -116,9 +116,9 @@ object SamplingQueries {
     GQuery(
       "smp_interleave",
       """SELECT doc_id, lang,
-        |  round((row_number() OVER (PARTITION BY lang ORDER BY doc_id))
+        |  (row_number() OVER (PARTITION BY lang ORDER BY doc_id))
         |    / CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
-        |                WHEN 'fr' THEN 0.25 END, 6) + 0.0 AS interleave_pos
+        |                WHEN 'fr' THEN 0.25 END + 0.0 AS interleave_pos
         |FROM documents
         |WHERE lang IN ('en', 'de', 'fr')
         |ORDER BY interleave_pos, doc_id""".stripMargin) { (s, dir) =>

@@ -115,4 +115,29 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("interleaveBySource: non-power-of-two weight fails fast; pow-2 positions exact") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    // 1/3 cannot place positions exactly in binary — must fail loudly
+    // instead of silently float-rounding the interleave order
+    val e = intercept[IllegalArgumentException] {
+      Sampling.interleaveBySource(docs, "lang", "doc_id",
+        Map("en" -> (1.0 / 3.0), "de" -> 0.5))
+    }
+    assert(e.getMessage.contains("power of two"))
+    // power-of-two weights: position k/w is an exact multiple of 1/w, so
+    // scaling by w recovers the integer rank bit-exactly
+    val pos = Sampling.interleaveBySource(docs, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25))
+      .select(org.apache.spark.sql.functions.col("interleave_pos"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect()
+    assert(pos.nonEmpty)
+    pos.foreach { r =>
+      val w = if (r.getString(1) == "en") 0.5 else 0.25
+      val scaled = r.getDouble(0) * w
+      assert(scaled == math.rint(scaled),
+        s"position ${r.getDouble(0)} for weight $w is not an exact rank multiple")
+    }
+  }
 }
