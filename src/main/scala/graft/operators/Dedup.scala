@@ -466,12 +466,18 @@ object Dedup {
     * linear in corpus size; no pairwise comparison anywhere. The window
     * partitions by segment text, so a segment duplicated millions of
     * times lands in one partition — acceptable because the per-segment
-    * state is a single running row_number (no buffering); a
-    * min(struct(doc_id, seg_idx)) groupBy + self-join is the equivalent
-    * two-shuffle form if a window over a hot key ever measures as a
-    * straggler. */
+    * state is a single running row_number (no buffering). For a corpus
+    * where one boilerplate segment dominates (a hot key that makes even
+    * the stateless window partition a wall-clock straggler),
+    * `hotKeyAggregate = true` swaps the window for a
+    * min(struct(doc_id, seg_idx)) hash aggregate: partial aggregation
+    * combines the hot key map-side, so the straggler partition receives
+    * one pre-reduced row per upstream task instead of every duplicate —
+    * same single shuffle, same result (parity spec-pinned). The window
+    * stays the default: without skew it avoids the aggregate's
+    * struct-building and is what the oracle replays. */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkWords: Int): DataFrame = {
+      chunkWords: Int, hotKeyAggregate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nSegs = ceil(size(col("toks")).cast("double") / chunkWords).cast("int")
     val segs = df
@@ -481,10 +487,16 @@ object Dedup {
         i => concat_ws(" ",
           slice(col("toks"), (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
       .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
-    val firsts = segs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
-      .filter(col("rn") === 1)
+    val firsts =
+      if (hotKeyAggregate)
+        segs.groupBy("seg")
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+          .select(col("f.doc_id").as("doc_id"),
+            col("f.seg_idx").as("seg_idx"), col("seg"))
+      else segs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
+        .filter(col("rn") === 1)
     df.select(col(idCol).as("doc_id"))
       .join(firsts, Seq("doc_id"), "left")
       .groupBy("doc_id")

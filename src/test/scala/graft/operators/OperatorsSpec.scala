@@ -586,4 +586,30 @@ class OperatorsSpec extends SparkSpec {
     assert(shrunk === 0)
     assert(out.count() === docs.count(), "one output row per input doc")
   }
+
+  test("segmentDedup hot-key aggregate form == window form (incl. adversarial skew)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // real corpus parity
+    assert(
+      rows(Dedup.segmentDedup(docs, "doc_id", "text", 8, hotKeyAggregate = true))
+        === rows(Dedup.segmentDedup(docs, "doc_id", "text", 8)),
+      "min(struct) aggregate must pick the same first occurrences")
+    // adversarial hot key: ONE segment duplicated across every doc (the
+    // boilerplate case the fallback exists for), plus a unique tail
+    val hot = (1L to 500L).map(i => (i, s"the same boilerplate line u$i"))
+      .toDF("doc_id", "text")
+    assert(
+      rows(Dedup.segmentDedup(hot, "doc_id", "text", 4, hotKeyAggregate = true))
+        === rows(Dedup.segmentDedup(hot, "doc_id", "text", 4)),
+      "hot-key corpus must dedup identically under both forms")
+    // the fallback plan must be an aggregate with map-side partials, not
+    // a window: partial_min before the exchange is what de-skews the
+    // hot-key partition
+    val plan = Dedup.segmentDedup(hot, "doc_id", "text", 4,
+      hotKeyAggregate = true).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") && !plan.toLowerCase.contains("window"),
+      "hot-key form must pre-reduce map-side:\n" + plan.take(2000))
+  }
 }
