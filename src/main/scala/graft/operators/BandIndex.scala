@@ -81,8 +81,11 @@ object BandIndex {
     * and the bucketed write assigns each row back to that same bucket —
     * so each task streams one bucket to one file, with only the per-file
     * sort in between. The corpus passes through executors once; nothing
-    * is collected. Rewrite goes to a temp table then swaps via rename, so
-    * a crash mid-compact leaves the original index intact. */
+    * is collected. The rewrite lands in a temp table first, so a failure
+    * during the (corpus-sized) rewrite leaves the original index intact;
+    * only the final drop+rename swap — two metadata operations — is a
+    * non-atomic window, and the `_compacting` table survives for manual
+    * recovery if a crash lands exactly between them. */
   def compact(spark: org.apache.spark.sql.SparkSession, buckets: Int,
       name: String): Unit = {
     rewriteOneTable(spark, s"${name}_bands", buckets,
