@@ -63,4 +63,12 @@ final class ParquetStore(spark: SparkSession, root: String) extends TableStore {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path(name))
+
+  /** Append into a hive-partitioned layout: new files land only under
+    * the partition directories the batch actually touches; existing
+    * files are never rewritten (the partitioned analogue of [[append]]). */
+  def appendPartitioned(name: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(name))
 }

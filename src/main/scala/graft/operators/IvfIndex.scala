@@ -31,6 +31,26 @@ object IvfIndex {
     store.writePartitioned(s"${name}_cells", cells, Seq("cell"))
   }
 
+  /** Incremental maintenance (the nightly-ingest path, mirroring
+    * [[BandIndex.append]]): assign ONLY `batch` to the EXISTING coarse
+    * quantizer and append into the partitioned cells layout. The
+    * centroids are deliberately frozen — that is what makes the nightly
+    * cost O(|batch|) (one broadcast of ≤numCentroids rows against the
+    * batch, no corpus scan) and keeps every previously-written cell file
+    * untouched (hive append only creates new files under the partitions
+    * the batch lands in, spec-pinned via the file listing). IVF recall
+    * degrades gracefully if the data distribution drifts from the frozen
+    * quantizer; the periodic `build` rebuild is the compaction step that
+    * re-centers it. */
+  def append(batch: DataFrame, store: ParquetStore, name: String): Unit = {
+    val centroids = store.read(s"${name}_centroids")
+    val cells = Similarity.assignCells(
+      batch.select(col("vec_id").as("cand_id"),
+        transform(col("embedding"), _.cast("double")).as("cemb")),
+      "cand_id", "cemb", centroids, keep = 1)
+    store.appendPartitioned(s"${name}_cells", cells, Seq("cell"))
+  }
+
   def query(store: ParquetStore, name: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     val centroids = store.read(s"${name}_centroids")
