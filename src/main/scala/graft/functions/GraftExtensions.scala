@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.cosineName,
         "_FUNC_(a, b) - cosine similarity of two array<double> vectors " +
           "in one fused codegen loop",
-        ""),
+        "", "", "", "", "", "", "built-in"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
   }

@@ -37,7 +37,7 @@ object Joins {
         rightCols.map(c => col(c).as(prefix + c)): _*)
       .withColumns(leftCols.filterNot(_ == key)
         .map(c => c -> lit(null)).toMap)
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightCols.foldLeft(unioned) { (df, c) =>

@@ -96,7 +96,7 @@ object Similarity {
   /** Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0. */
   def bucketId(embedding: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(embedding, planeCol) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
@@ -279,8 +279,8 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(k, dim, seed)
     val scale = math.sqrt(3.0 / k)
-    val comps = planes.map { p =>
-      dot(col("embedding"), array(p.map(lit): _*)) * lit(scale)
+    val comps = planes.toIndexedSeq.map { p =>
+      dot(col("embedding"), array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
     }
     vectors
       .select(col("vec_id"), posexplode(array(comps: _*)).as(Seq("j", "v")))
