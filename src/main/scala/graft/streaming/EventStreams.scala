@@ -159,6 +159,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming near-dup dedup against a GROWING index: like
+    * [[dedupAgainstIndexStream]], but each trigger's survivors are
+    * appended to the persisted index ([[graft.operators.BandIndex.append]])
+    * before the next trigger runs — so batch N is deduped against the
+    * original corpus AND every earlier batch's survivors, which is the
+    * semantics a continuous ingest pipeline actually needs (the static
+    * variant lets a doc arriving twice in different triggers through).
+    * Order inside the trigger matters and is single-threaded by
+    * foreachBatch's sequential guarantee: check, deliver, then append —
+    * a doc never dedups against its own batch (intra-batch dups are
+    * [[graft.operators.Dedup.minhashNearDups]] on the batch, composable
+    * upstream). Cost per trigger stays O(|batch| + collisions): the
+    * check join reads corpus buckets in place and the append shuffles
+    * only the batch into the bucket layout; run
+    * [[graft.operators.BandIndex.compact]] on a maintenance schedule to
+    * fold the accumulated per-trigger file-sets. `buckets` must match
+    * the index's build-time bucket count. */
+  def dedupGrowIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double, indexName: String,
+      buckets: Int, sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.BandIndex.dedupAgainstEphemeral(
+            batch, idCol, textCol, numHashes, bands, threshold, indexName) {
+            survivors =>
+              sink(survivors)
+              graft.operators.BandIndex.append(survivors, idCol, textCol,
+                numHashes, bands, buckets, indexName)
+          }
+      }
+      .start()
+
   /** Micro-batch file ingestion: the streaming analogue of the reference's
     * timer-driven extract — new parquet files under `dir` are picked up
     * `maxFilesPerTrigger` at a time with exactly-once tracking in the

@@ -227,4 +227,54 @@ class EventStreamsSpec extends SparkSpec {
       "per-micro-batch dedup must equal the one-shot batch dedup " +
         "(batch boundaries cannot change corpus-side matches)")
   }
+
+  test("growing-index stream dedups later batches against earlier survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val base = (0 until 20).map(i => s"c$i")
+    val fresh1 = (0 until 20).map(i => s"y$i")
+    val fresh2 = (0 until 20).map(i => s"z$i")
+    // corpus doc C; X1 is a near-dup of C (19/21 Jaccard ~ 0.90)
+    val corpus = Seq((1L, doc(base))).toDF("doc_id", "text")
+    graft.operators.BandIndex.build(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "gidx")
+
+    val x1 = doc(base.updated(7, "changed"))       // near-dup of corpus C
+    val y1 = doc(fresh1)                           // fresh -> survives b1
+    val y2 = doc(fresh1.updated(3, "mutated"))     // near-dup of y1!
+    val z = doc(fresh2)                            // fresh -> survives b2
+
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupGrowIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.8, indexName = "gidx",
+      buckets = 8,
+      sink = kept => survivors.synchronized {
+        survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+      })
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    try {
+      mem.addData(Seq((10L, x1), (11L, y1))); q.processAllAvailable()
+      mem.addData(Seq((20L, y2), (21L, z))); q.processAllAvailable()
+    } finally q.stop()
+
+    // x1 dropped vs the built corpus; y2 dropped vs batch-1 survivor y1 —
+    // the growing index is exactly what the static variant cannot do
+    assert(survivors.toSet === Set(11L, 21L),
+      s"expected y1+z to survive, got ${survivors.toSet}")
+    // same no-leak lifecycle pin as the static stream (checked BEFORE the
+    // batch-path call below, which caches legitimately under the batch
+    // harness's clearCache lifecycle)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "per-trigger sketch caches must be unpersisted")
+    // the appended survivors are queryable index content for later
+    // callers too (batch path sees them)
+    val late = Seq((30L, doc(fresh2.updated(5, "edited")))).toDF("doc_id", "text")
+    assert(graft.operators.BandIndex.dedupAgainst(late, "doc_id", "text",
+        64, 16, 0.8, "gidx").count() === 0,
+      "a near-dup of an appended survivor must be caught by the batch path")
+    spark.catalog.clearCache()
+  }
 }
