@@ -587,6 +587,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() === docs.count(), "one output row per input doc")
   }
 
+  test("shingleSet matches a naive sliding window for n=2..4 incl. edge docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),      // normal: len > n for all tested n
+      (2L, "a b"),            // exactly n=2, shorter than n=3
+      (3L, "solo"),           // single token: no shingles at any n>=2
+      (4L, "  x   y  z "),    // ragged whitespace (tokens() trims/splits)
+      (5L, "a b a b a")       // repeats: distinct must dedup shingles
+    ).toDF("doc_id", "text")
+    def naive(text: String, n: Int): Set[String] =
+      text.trim.split("\\s+").toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+    for (n <- 2 to 4) {
+      val got = Dedup.shingleSet(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = df.collect()
+        .map(r => r.getLong(0) ->
+          naive(r.getString(1), n))
+        .filter(_._2.nonEmpty).toMap
+      assert(got === want, s"shingle mismatch at n=$n")
+    }
+  }
+
   test("segmentDedup hot-key aggregate form == window form (incl. adversarial skew)") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df
