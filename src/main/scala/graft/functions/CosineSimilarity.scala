@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
-/** Native Catalyst expression: cosine similarity of two array<double>
+/** Native Catalyst expression: cosine similarity of two numeric-array
   * columns in a single fused loop with whole-stage codegen.
   *
   * The composable alternative (`aggregate`/`zip_with` higher-order
@@ -18,23 +18,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * preferred "custom Expression beats UDF" path for hot scalar kernels
   * (ANN re-ranking at 100 TB runs this per candidate pair).
   *
-  * Inputs must be array<double> (the Column wrapper casts float arrays;
-  * AbstractDataType/ImplicitCastInputTypes are private[sql], so validation
-  * happens in checkInputDataTypes). Accumulation order matches the
-  * sequential fold, so results are bit-identical with the HOF
-  * implementation and the DuckDB oracle.
+  * Inputs are array<double|float|long|int>, read NATIVELY: each element
+  * is widened to double inside the loop (exact for float and for the
+  * |v| ≤ 2^53 longs the int8-quantized path produces), so no caller
+  * ever needs a `transform(_.cast("double"))` wrapper. That wrapper was
+  * the round-7 hot-path defect: applied inside the shared re-rank tail
+  * it allocated a fresh double array PER CANDIDATE PAIR — every corpus
+  * row re-cast |queries| times — precisely the allocation this fused
+  * kernel exists to avoid. (AbstractDataType/ImplicitCastInputTypes are
+  * private[sql], so validation happens in checkInputDataTypes.)
+  * Accumulation order and precision match the sequential double fold
+  * bit for bit, so results are identical with the HOF implementation
+  * and the DuckDB oracle regardless of input element type.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (DoubleType | FloatType | LongType | IntegerType), _) =>
+      Some(et)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemType(e.dataType).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double> inputs, got " +
+      s"$prettyName requires array<double|float|long|int> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -44,18 +54,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  @inline private def get(arr: ArrayData, et: DataType, i: Int): Double =
+    et match {
+      case DoubleType => arr.getDouble(i)
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case other => throw new IllegalStateException(
+        s"$prettyName: unsupported element type $other")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xt = elemType(left.dataType).get
+    val yt = elemType(right.dataType).get
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = get(x, xt, i); val yi = get(y, yt, i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  /** Type-specific element read, widened to double in-register — no
+    * array materialization, no boxing, whatever the input element type. */
+  private def genGet(arr: String, et: DataType, i: String): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case other => throw new IllegalStateException(
+      s"$prettyName: unsupported element type $other")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -68,12 +101,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val getX = genGet(a, elemType(left.dataType).get, i)
+      val getY = genGet(b, elemType(right.dataType).get, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -92,6 +127,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val minhashName = "graft_minhash"
   val intersectName = "graft_intersect_count"
+  val quantizeName = "graft_quantize_int8"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -120,6 +156,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
     }
+    ifAbsent(quantizeName) {
+      registry.createOrReplaceTempFunction(
+        quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -144,4 +184,8 @@ object GraftFunctions {
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =
     call_function(minhashName, token, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Fused int8 quantization → struct<scale: double, qvec: array<long>>. */
+  def quantizeInt8(embedding: Column): Column =
+    call_function(quantizeName, embedding)
 }

@@ -24,10 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getName,
         null,
         GraftFunctions.cosineName,
-        "_FUNC_(a, b) - cosine similarity of two array<double> vectors " +
-          "in one fused codegen loop",
+        "_FUNC_(a, b) - cosine similarity of two numeric-array vectors " +
+          "in one fused codegen loop (float/long/int read natively)",
         "", "", "", "", "", "", "built-in"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.quantizeName),
+      new ExpressionInfo(
+        classOf[QuantizeInt8].getName,
+        null,
+        GraftFunctions.quantizeName,
+        "_FUNC_(a) - fused symmetric int8 quantization of an embedding " +
+          "array, returning struct<scale, qvec>",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizeInt8(exprs(0))))
   }
 }

