@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
+  /** Sentinel `src_batch` for rows written outside a streaming trigger
+    * (build / manual append): never matches a real foreachBatch id, so
+    * the replay-exclusion filter leaves them alone. */
+  val NoBatch: Long = -1L
+
   /** Sketch `corpus` with the portable family and persist the two index
     * tables under `name` (`spark.sql.warehouse.dir` / session catalog). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, buckets: Int, name: String): Unit =
     writeIndex(corpus, idCol, textCol, numHashes, bands, buckets, name,
-      mode = "overwrite")
+      mode = "overwrite", batchId = NoBatch)
 
   /** Incremental index maintenance: sketch ONLY `batch` and append its
     * bands/token-sets to the existing index tables. The write hashes the
@@ -47,24 +52,53 @@ object BandIndex {
     * must match the build-time value (Spark rejects a mismatched bucket
     * spec on append). Each append lands one file-set per bucket; run
     * [[compact]] periodically to fold them back to one file per bucket
-    * and restore the per-file sort. */
+    * and restore the per-file sort.
+    *
+    * CONTRACT: batch doc ids must be disjoint from ids already in the
+    * index — a re-appended id would leave two token-set rows and make
+    * [[matches]] emit duplicate verification rows for it. With the
+    * default `batchId = NoBatch` the contract is the caller's to uphold
+    * (cheapest; documented here). Passing a real `batchId` makes the
+    * append IDEMPOTENT per batch instead: each table's write anti-joins
+    * the batch against ids already present FROM THE SAME BATCH, so a
+    * replayed trigger (streaming at-least-once) re-appends nothing and a
+    * crash mid-append (one table written, the other not) completes the
+    * missing table on retry. The guard reads only same-batch index rows:
+    * `src_batch` is constant within every appended file, so parquet
+    * row-group stats prune all other files and the guard stays
+    * O(batch) IO. */
   def append(batch: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, buckets: Int, name: String): Unit =
+      numHashes: Int, bands: Int, buckets: Int, name: String,
+      batchId: Long = NoBatch): Unit =
     writeIndex(batch, idCol, textCol, numHashes, bands, buckets, name,
-      mode = "append")
+      mode = "append", batchId = batchId)
 
   private def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, buckets: Int, name: String,
-      mode: String): Unit = {
+      mode: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
     val (bandsDf, sets) = Dedup.portableSketch(docs, idCol, textCol,
       numHashes, bands)
+    // per-batch idempotency guard (see append scaladoc): drop ids this
+    // batch already landed in the target table during a replayed trigger
+    def unseen(df: DataFrame, table: String): DataFrame =
+      if (batchId == NoBatch || !spark.catalog.tableExists(table)) df
+      else df.join(
+        spark.table(table).filter(col("src_batch") === batchId)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     try {
-      bandsDf.write.mode(mode)
+      unseen(bandsDf, s"${name}_bands")
+        .withColumn("src_batch", lit(batchId))
+        .write.mode(mode)
         .bucketBy(buckets, "band_idx", "band_hash")
         .sortBy("band_idx", "band_hash")
         .saveAsTable(s"${name}_bands")
-      sets.groupBy("doc_id")
-        .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks"))
+      unseen(
+          sets.groupBy("doc_id")
+            .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks")),
+          s"${name}_toks")
+        .withColumn("src_batch", lit(batchId))
         .write.mode(mode)
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${name}_toks")
@@ -125,20 +159,33 @@ object BandIndex {
     * [[Dedup.incrementalNearDups]](newDocs, corpus, ...) by construction
     * (same sketch family, same verification tail — spec-pinned). */
   def matches(newDocs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, threshold: Double, name: String): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double, name: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
       numHashes, bands)
-    matchesFrom(newBands, newSets, threshold, name)
+    matchesFrom(newBands, newSets, threshold, name, excludeBatch)
   }
 
   /** The index-join tail of [[matches]], split out so callers that own the
     * sketch-frame lifecycle (the streaming path, which must unpersist per
-    * micro-batch) can pass pre-sketched frames. */
+    * micro-batch) can pass pre-sketched frames. `excludeBatch` drops index
+    * rows appended BY THE SAME micro-batch from the reference side — on an
+    * at-least-once replay (crash between append and checkpoint commit)
+    * the retried batch must not anti-join against its own previously
+    * appended survivors, or they would silently vanish from the sink.
+    * The filter is a cheap column predicate on the bucketed scans (and
+    * file-prunable via parquet stats, src_batch being constant per file);
+    * bucketing is unaffected. */
   private def matchesFrom(newBands: DataFrame, newSets: DataFrame,
-      threshold: Double, name: String): DataFrame = {
+      threshold: Double, name: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newBands.sparkSession
-    val refBands = spark.table(s"${name}_bands")
-    val refToks = spark.table(s"${name}_toks")
+    def notOwn(df: DataFrame): DataFrame = excludeBatch match {
+      case Some(b) => df.filter(col("src_batch") =!= b)
+      case None => df
+    }
+    val refBands = notOwn(spark.table(s"${name}_bands"))
+    val refToks = notOwn(spark.table(s"${name}_toks"))
     val cands = newBands.as("a")
       .join(refBands.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -173,11 +220,12 @@ object BandIndex {
     * index tables, never the cache. */
   def dedupAgainstEphemeral(newDocs: DataFrame, idCol: String,
       textCol: String, numHashes: Int, bands: Int, threshold: Double,
-      name: String)(use: DataFrame => Unit): Unit = {
+      name: String, excludeBatch: Option[Long] = None)
+      (use: DataFrame => Unit): Unit = {
     val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
       numHashes, bands)
     val survivors = newDocs.join(
-      matchesFrom(newBands, newSets, threshold, name)
+      matchesFrom(newBands, newSets, threshold, name, excludeBatch)
         .select(col("id_new").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
     try use(survivors)

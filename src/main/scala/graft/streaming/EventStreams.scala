@@ -175,24 +175,45 @@ object EventStreams {
     * only the batch into the bucket layout; run
     * [[graft.operators.BandIndex.compact]] on a maintenance schedule to
     * fold the accumulated per-trigger file-sets. `buckets` must match
-    * the index's build-time bucket count. */
+    * the index's build-time bucket count.
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract: index rows
+    * carry the micro-batch id, the check excludes same-batch rows (a
+    * trigger retried after a successful append must not anti-join
+    * against its own survivors — they'd silently vanish from the sink),
+    * and the append is per-batch idempotent (a replay re-appends
+    * nothing; a crash mid-append completes the missing table). Net
+    * effect: replays re-deliver the SAME survivors to `sink`
+    * (at-least-once delivery, the sink's contract) and the index
+    * converges to exactly one copy of each survivor. Spec-pinned by
+    * replaying [[growIndexTrigger]] in EventStreamsSpec. */
   def dedupGrowIndexStream(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double, indexName: String,
       buckets: Int, sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.BandIndex.dedupAgainstEphemeral(
-            batch, idCol, textCol, numHashes, bands, threshold, indexName) {
-            survivors =>
-              sink(survivors)
-              graft.operators.BandIndex.append(survivors, idCol, textCol,
-                numHashes, bands, buckets, indexName)
-          }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        growIndexTrigger(batch, batchId, idCol, textCol, numHashes, bands,
+          threshold, indexName, buckets, sink)
       }
       .start()
+
+  /** One check→deliver→append trigger of [[dedupGrowIndexStream]], split
+    * out so the replay-safety spec can invoke the exact production body
+    * twice with the same batchId. */
+  private[graft] def growIndexTrigger(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      threshold: Double, indexName: String, buckets: Int,
+      sink: DataFrame => Unit): Unit =
+    if (!batch.isEmpty)
+      graft.operators.BandIndex.dedupAgainstEphemeral(
+        batch, idCol, textCol, numHashes, bands, threshold, indexName,
+        excludeBatch = Some(batchId)) { survivors =>
+        sink(survivors)
+        graft.operators.BandIndex.append(survivors, idCol, textCol,
+          numHashes, bands, buckets, indexName, batchId = batchId)
+      }
 
   /** Micro-batch file ingestion: the streaming analogue of the reference's
     * timer-driven extract — new parquet files under `dir` are picked up

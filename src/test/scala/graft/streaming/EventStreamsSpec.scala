@@ -277,4 +277,53 @@ class EventStreamsSpec extends SparkSpec {
       "a near-dup of an appended survivor must be caught by the batch path")
     spark.catalog.clearCache()
   }
+
+  test("replayed growing-index trigger re-delivers survivors and appends nothing") {
+    import spark.implicits._
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val base = (0 until 20).map(i => s"rc$i")
+    val fresh = (0 until 20).map(i => s"rf$i")
+    val corpus = Seq((1L, doc(base))).toDF("doc_id", "text")
+    graft.operators.BandIndex.build(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 8, name = "ridx")
+
+    // batch 0: doc 10 is fresh (survives), doc 11 near-dups the corpus
+    val batch = Seq(
+      (10L, doc(fresh)),
+      (11L, doc(base.updated(2, "tweaked")))).toDF("doc_id", "text")
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def fire(): Unit = EventStreams.growIndexTrigger(
+      batch, batchId = 0L, "doc_id", "text", numHashes = 64, bands = 16,
+      threshold = 0.8, indexName = "ridx", buckets = 8,
+      sink = kept => delivered +=
+        kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    fire()
+    // at-least-once replay: crash landed between the successful append
+    // and the checkpoint commit, so the SAME batch id fires again
+    fire()
+
+    // the retried trigger must re-deliver the same survivors — without
+    // the same-batch exclusion it would anti-join against its own
+    // appended rows and deliver nothing (the silent-loss hazard)
+    assert(delivered.toSeq === Seq(Set(10L), Set(10L)),
+      s"replay must re-deliver identical survivors, got $delivered")
+    // ...and append nothing: exactly one token-set row and one band set
+    // for doc 10 across both firings
+    assert(spark.table("ridx_toks")
+      .filter($"doc_id" === 10L).count() === 1L,
+      "replayed append must not duplicate token-set rows")
+    assert(spark.table("ridx_bands")
+      .filter($"doc_id" === 10L).count() === 16L,
+      "replayed append must not duplicate band rows")
+    // a later batch still dedups against the survivor appended in batch 0
+    val late = Seq((30L, doc(fresh.updated(4, "edited")))).toDF("doc_id", "text")
+    EventStreams.growIndexTrigger(late, batchId = 1L, "doc_id", "text",
+      64, 16, 0.8, "ridx", 8,
+      sink = kept => delivered +=
+        kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(delivered.last === Set.empty[Long],
+      "a near-dup of a batch-0 survivor must be dropped in batch 1")
+    spark.catalog.clearCache()
+  }
 }
