@@ -230,6 +230,13 @@ object Schemas {
     "fact_purchase_order" -> factPurchaseOrder,
     "fact_payment" -> factPayment)
 
+  /** Natural key of each warehouse table — the first declared column in
+    * this star schema by convention (date_id, staff_id, …,
+    * sales_order_id). The [EXT] upsert sink mode matches on it; the
+    * parity default (Append) never reads it. */
+  val warehouseKeys: Map[String, Seq[String]] =
+    warehouseTables.map { case (n, st) => n -> Seq(st.fields.head.name) }
+
   /** Conform a transform-stage frame to its declared warehouse schema:
     * select the declared columns in declared order and cast each to its
     * warehouse type (string→date for `agreed_*_date`/`payment_date`/

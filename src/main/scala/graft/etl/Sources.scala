@@ -45,9 +45,28 @@ final class ParquetSource(spark: SparkSession, dir: String) extends OltpSource {
   * JDBC read (stride predicates on a numeric/date/timestamp column, one
   * remote cursor per partition). The reference's extract is a single
   * cursor per table (src/extract.py:98-101) — fine for dimension-sized
-  * tables, a bottleneck on a large fact source; this is the scale path. */
+  * tables, a bottleneck on a large fact source; this is the scale path.
+  *
+  * Bounds left as `None` (the [[JdbcPartitioning.auto]] form) are derived
+  * at scan time with a one-row `SELECT min/max` against the source, so
+  * they can never go stale — a hand-supplied upper bound outlived by the
+  * table silently lands every newer row in the last stride partition
+  * (skew, not wrongness, but exactly the kind that grows forever).
+  * Explicit bounds remain for callers that must avoid the extra
+  * round-trip per scan. */
 final case class JdbcPartitioning(partitionColumn: String,
-    lowerBound: Long, upperBound: Long, numPartitions: Int)
+    lowerBound: Option[Long], upperBound: Option[Long], numPartitions: Int)
+
+object JdbcPartitioning {
+  def apply(partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): JdbcPartitioning =
+    JdbcPartitioning(partitionColumn, Some(lowerBound), Some(upperBound),
+      numPartitions)
+
+  /** Stride bounds derived from the live table at every scan. */
+  def auto(partitionColumn: String, numPartitions: Int): JdbcPartitioning =
+    JdbcPartitioning(partitionColumn, None, None, numPartitions)
+}
 
 /** Production implementation over JDBC. Tables listed in `partitioning`
   * are scanned in parallel (N stride partitions, one remote cursor each);
@@ -78,11 +97,32 @@ final class JdbcSource(spark: SparkSession, url: String, props: Properties,
   override def full(table: String): DataFrame =
     partitioning.get(table) match {
       case Some(p) =>
-        spark.read.jdbc(url, "\"" + table + "\"", p.partitionColumn,
-          p.lowerBound, p.upperBound, p.numPartitions, props)
+        val bounds = (p.lowerBound, p.upperBound) match {
+          case (Some(lo), Some(hi)) => Some((lo, hi))
+          case _ => deriveBounds(table, p.partitionColumn)
+        }
+        bounds match {
+          case Some((lo, hi)) =>
+            spark.read.jdbc(url, "\"" + table + "\"", p.partitionColumn,
+              lo, hi, p.numPartitions, props)
+          // empty table: nothing to stride over — single-cursor read
+          case None =>
+            spark.read.jdbc(url, "\"" + table + "\"", props)
+        }
       case None =>
         spark.read.jdbc(url, "\"" + table + "\"", props)
     }
+
+  /** One-row remote `min/max` aggregate for [[JdbcPartitioning.auto]]:
+    * the DB answers from the partition column's index (or one scan), the
+    * driver receives two values — never rows. None on an empty table. */
+  private def deriveBounds(table: String, column: String): Option[(Long, Long)] = {
+    val q = s"""(SELECT min("$column") lo, max("$column") hi
+               | FROM "$table") b""".stripMargin
+    val row = spark.read.jdbc(url, q, props).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) None
+    else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
+  }
 
   override def incremental(table: String, created: Timestamp, updated: Timestamp): DataFrame =
     OltpSource.deltaFilter(full(table), created, updated)

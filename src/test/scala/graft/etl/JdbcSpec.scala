@@ -87,6 +87,43 @@ class JdbcSpec extends SparkSpec {
     assert(delta.collect().map(_.getInt(0)).toSeq === Seq(3))
   }
 
+  test("auto partitioning derives live min/max bounds per scan") {
+    setup
+    val auto = new JdbcSource(spark, url, props,
+      catalogQuery = JdbcSource.derbyCatalogQuery,
+      partitioning = Map("CURRENCY" ->
+        JdbcPartitioning.auto("CURRENCY_ID", numPartitions = 2)))
+    val df = auto.full("CURRENCY")
+    assert(df.rdd.getNumPartitions === 2,
+      "auto bounds must still plan the requested stride partitions")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+    // bounds are re-derived per scan, so rows beyond any earlier max land
+    // in their own strides, not piled into the last partition
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "INSERT INTO currency VALUES (40, 'DDD', '2023-03-03 09:00:00', '2023-03-03 09:00:00')")
+      st.close()
+      assert(auto.full("CURRENCY").collect().map(_.getInt(0)).sorted.toSeq
+        === Seq(1, 2, 3, 40))
+    } finally {
+      val st2 = conn.createStatement()
+      st2.executeUpdate("DELETE FROM currency WHERE currency_id = 40")
+      st2.close(); conn.close()
+    }
+    // an empty table cannot stride: single-cursor fallback, zero rows
+    val st3 = DriverManager.getConnection(url).createStatement()
+    st3.executeUpdate(
+      "CREATE TABLE empty_tbl (id INT, created_at TIMESTAMP, last_updated TIMESTAMP)")
+    st3.close()
+    val autoEmpty = new JdbcSource(spark, url, props,
+      catalogQuery = JdbcSource.derbyCatalogQuery,
+      partitioning = Map("EMPTY_TBL" -> JdbcPartitioning.auto("ID", 4)))
+    val empty = autoEmpty.full("EMPTY_TBL")
+    assert(empty.rdd.getNumPartitions === 1 && empty.count() === 0)
+  }
+
   test("batched append sink accumulates (reference to_sql parity)") {
     setup
     val sink = new JdbcWarehouseSink(url, props, batchSize = 2)
