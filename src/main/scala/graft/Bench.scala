@@ -13,10 +13,17 @@ import org.apache.spark.sql.SparkSession
   *  - any query >1.5× its value in the previous committed full artifact
   *    (BENCH_FULL.json, read before this run overwrites it) is re-run
   *    once, as is any query both slow (>5 s) and started under load >8.
+  *    The rerun is COLD-CACHE (clearCache first — the first pass
+  *    populates operator caches, and a warm rerun would read as a load
+  *    spike for every cache-heavy query) and records its own loadavg.
   *    The reported time is always the first (single-pass) measurement —
   *    never best-of-two, which would bias the headline — and the rerun
-  *    pair lands in `reruns` so a reader can tell a load spike (rerun
-  *    much faster) from a genuine regression (rerun agrees);
+  *    triple [first, rerun, rerun_loadavg] lands in `reruns` so a reader
+  *    can tell a load spike (rerun much faster at lower load) from a
+  *    genuine regression (rerun agrees). Whether a baseline was usable
+  *    at all is the artifact's `baseline` field
+  *    (loaded|absent|sf_mismatch|unreadable) — a silently disabled
+  *    trigger is itself visible;
   *  - a SparkListener accumulates per-query spilled bytes and failed-task
   *    counts (the CloudWatch-alarm analogue of the reference's
   *    terraform/alarm.tf, SURVEY §4) — a silent spill or task retry that
@@ -46,21 +53,29 @@ object Bench {
   }
 
   /** Per-query times from the previous committed BENCH_FULL.json (the
-    * regression baseline for the rerun trigger). Only used when that
-    * artifact was measured at the same sf dir; a dev run at another sf
-    * must not mark everything regressed. */
-  private def priorTimes(path: String, sfDir: String): Map[String, Double] =
+    * regression baseline for the rerun trigger), plus a status string
+    * that lands in the artifact — the parse is hand-rolled and tightly
+    * coupled to the format Bench itself writes, so a silent Map.empty
+    * (which disables the rerun trigger entirely) must be VISIBLE:
+    * "loaded" | "absent" | "sf_mismatch" | "unreadable". Only a
+    * same-sf-dir artifact is used; a dev run at another sf must not mark
+    * everything regressed. */
+  private def priorTimes(path: String, sfDir: String): (Map[String, Double], String) =
     try {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) (Map.empty, "absent")
       else {
-        val qs = s.substring(s.indexOf("\"queries\":{") + 11)
-        val body = qs.substring(0, qs.indexOf('}'))
-        "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (!s.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty, "sf_mismatch")
+        else {
+          val qs = s.substring(s.indexOf("\"queries\":{") + 11)
+          val body = qs.substring(0, qs.indexOf('}'))
+          val m = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          (m, if (m.isEmpty) "unreadable" else "loaded")
+        }
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty, "unreadable") }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,13 +134,14 @@ object Bench {
 
     // regression baseline: the previous run's full artifact, read BEFORE
     // this run overwrites it
-    val prior = priorTimes(
+    val (prior, baselineStatus) = priorTimes(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_FULL.json"), sfDir)
     val health = new HealthListener
     spark.sparkContext.addSparkListener(health)
 
     val loadStart = loadavg()
-    var reruns = List.empty[(String, Double, Double)] // name, first, rerun
+    // name, first, rerun, loadavg at rerun start
+    var reruns = List.empty[(String, Double, Double, Double)]
     var loads = List.empty[(String, Double)]
     var spills = List.empty[(String, Long)]
     var fails = List.empty[(String, Long)]
@@ -144,8 +160,16 @@ object Bench {
       // churn), or slow under heavy neighbor load
       val regressed = prior.get(q.name)
         .exists(p => first > 1.5 * p && first > 0.5)
-      if (regressed || (first > 5.0 && loadAtStart > 8.0))
-        reruns ::= ((q.name, first, once()))
+      if (regressed || (first > 5.0 && loadAtStart > 8.0)) {
+        // cold-cache rerun: the first pass populated operator caches
+        // (CacheOnce sketch frames), and a cache-warm rerun would make
+        // every cache-heavy query look like a load spike — the exact
+        // ambiguity the rerun exists to resolve. Fresh loadavg recorded
+        // so the pair is interpretable on a time-shared host.
+        spark.catalog.clearCache()
+        val rerunLoad = loadavg()
+        reruns ::= ((q.name, first, once(), rerunLoad))
+      }
       // outside the timed region: drop operator-cached frames (minhash
       // bands) so entries never accumulate across the 94-query run
       spark.catalog.clearCache()
@@ -161,7 +185,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val rr = reruns.reverse
-      .map { case (n, a, b) => "\"" + n + "\":[" + r3(a) + "," + r3(b) + "]" }
+      .map { case (n, a, b, l) =>
+        "\"" + n + "\":[" + r3(a) + "," + r3(b) + "," + r3(l) + "]" }
       .mkString("{", ",", "}")
     val loadPer = loads.reverse
       .map { case (n, l) => "\"" + n + "\":" + r3(l) }
@@ -180,7 +205,7 @@ object Bench {
     // the JSON line's head was truncated. stdout gets a compact line
     // (family subtotals + slowest queries) that fits the tail window.
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
     // filtered dev runs must never clobber the full-surface artifact
     val fullPath = java.nio.file.Paths.get(
       if (only.isDefined) "BENCH_DEV.json" else "BENCH_FULL.json")
@@ -206,7 +231,7 @@ object Bench {
     // sbt adds no prefix and no trailing "[success]" line.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
     System.out.flush()
   }
 }
