@@ -26,11 +26,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, token) pairs — the set representation used by Jaccard
-    * and MinHash. */
+    * and MinHash. Dedup is per-row (`array_distinct` before the explode),
+    * not a global `.distinct()`: within-document uniqueness needs no
+    * corpus-wide shuffle of every token occurrence. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("w"))
-      .distinct()
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
 
   /** Distinct (id, n-word-shingle) pairs for n-gram Jaccard (n >= 2).
     *
@@ -43,12 +44,16 @@ object Dedup {
     * fewer than n tokens drop without ever re-splitting. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(transform(
-          sequence(lit(1), greatest(size(col("toks")) - lit(n - 1), lit(1))),
-          i => slice(col("toks"), i, lit(n)))).as("sh"))
-      .filter(size(col("sh")) === n)
-      .select(col("doc_id"), concat_ws(" ", col("sh")).as("w"))
-      .distinct()
+      // docs shorter than n tokens have no n-shingle; filtering here keeps
+      // every generated slice exactly n long (no per-slice length check)
+      .filter(size(col("toks")) >= n)
+      // per-doc dedup happens INSIDE the row via array_distinct before the
+      // explode — the output is the same distinct (doc_id, w) set, but
+      // without the global .distinct(), which shuffled every shingle
+      // occurrence of the corpus just to dedup within single documents
+      .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("w"))
 
   /** All-pairs Jaccard over a token/shingle set frame (columns doc_id, w):
     * |A∩B| via self-equi-join on the token, sizes via a broadcastable
