@@ -37,6 +37,74 @@ object BandIndex {
     * the replay-exclusion filter leaves them alone. */
   val NoBatch: Long = -1L
 
+  // ------------------------------------------------------------------
+  // Versioned physical layout. Readers and appenders address each index
+  // table through a VIEW (`<name>_bands`, `<name>_toks`) that redirects
+  // to the current physical version (`<name>_bands_vN`). This is what
+  // makes [[compact]]'s swap ATOMIC: the rewrite lands fully in v(N+1),
+  // then ONE `CREATE OR REPLACE VIEW` retargets readers — there is no
+  // instant at which the index name fails to resolve (the round-7
+  // drop+rename swap had a two-metadata-op window). The authoritative
+  // current version is parsed from the view's own definition, NOT from a
+  // max-suffix listing: an orphan v(N+1) left by a crash mid-compact
+  // must stay invisible to appends until a re-run compact overwrites it.
+
+  private def versionOf(spark: org.apache.spark.sql.SparkSession,
+      base: String): Int = {
+    val cat = spark.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(base)
+    if (!cat.tableExists(id)) 0
+    else cat.getTableMetadata(id).viewText match {
+      case Some(sql) =>
+        "_v(\\d+)".r.findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(0)
+      case None => 0 // pre-versioning physical table under the base name
+    }
+  }
+
+  /** The physical table currently behind `base` — what appends write to
+    * and what the spec's file-listing inspects. */
+  private[operators] def physicalTable(
+      spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val v = versionOf(spark, base)
+    if (v == 0) base else s"${base}_v$v"
+  }
+
+  /** Read `base` with a fresh file listing. Sessions cache a table's
+    * file-list snapshot in their tableRelationCache — and creating the
+    * redirect view PRE-POPULATES that cache in the creating session
+    * (analyzing `SELECT * FROM base_vN` resolves the table) — so a
+    * session would otherwise silently miss files appended by ANY OTHER
+    * session (the streaming foreachBatch clone invalidates only its own
+    * cache). The index's contract is multi-writer-visible reads; the
+    * refresh is an O(#files) metadata op, negligible next to the joins
+    * it feeds. Without it, [[compact]] would be outright destructive
+    * after cross-session appends: a stale listing rewrites the index
+    * WITHOUT the appended rows. */
+  private def refreshed(spark: org.apache.spark.sql.SparkSession,
+      base: String): DataFrame = {
+    val physical = physicalTable(spark, base)
+    spark.catalog.refreshTable(physical)
+    spark.table(physical)
+  }
+
+  /** Atomically retarget `base` to version `v` and drop every OTHER
+    * versioned physical table (plus a legacy unversioned table, whose
+    * name the view takes over). */
+  private def retarget(spark: org.apache.spark.sql.SparkSession,
+      base: String, v: Int): Unit = {
+    val cat = spark.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(base)
+    if (cat.tableExists(id) && cat.getTableMetadata(id).viewText.isEmpty)
+      spark.sql(s"DROP TABLE $base")
+    spark.sql(s"CREATE OR REPLACE VIEW $base AS SELECT * FROM ${base}_v$v")
+    val prefix = s"${base}_v"
+    cat.listTables(cat.getCurrentDatabase).map(_.table)
+      .filter(t => t.startsWith(prefix) &&
+        t.stripPrefix(prefix).forall(_.isDigit) &&
+        t != s"${base}_v$v")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Sketch `corpus` with the portable family and persist the two index
     * tables under `name` (`spark.sql.warehouse.dir` / session catalog). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
@@ -81,27 +149,35 @@ object BandIndex {
       numHashes, bands)
     // per-batch idempotency guard (see append scaladoc): drop ids this
     // batch already landed in the target table during a replayed trigger
-    def unseen(df: DataFrame, table: String): DataFrame =
-      if (batchId == NoBatch || !spark.catalog.tableExists(table)) df
+    def unseen(df: DataFrame, base: String): DataFrame =
+      if (batchId == NoBatch || !spark.catalog.tableExists(base)) df
       else df.join(
-        spark.table(table).filter(col("src_batch") === batchId)
+        refreshed(spark, base).filter(col("src_batch") === batchId)
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+    // build: land the full rewrite in the NEXT physical version, then
+    // retarget the view; append: write straight into the current one
+    def target(base: String): String =
+      if (mode == "overwrite") s"${base}_v${versionOf(spark, base) + 1}"
+      else physicalTable(spark, base)
+    def write(df: DataFrame, base: String, keys: Seq[String]): Unit = {
+      df.write.mode(mode)
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(target(base))
+      if (mode == "overwrite")
+        retarget(spark, base, versionOf(spark, base) + 1)
+    }
     try {
-      unseen(bandsDf, s"${name}_bands")
-        .withColumn("src_batch", lit(batchId))
-        .write.mode(mode)
-        .bucketBy(buckets, "band_idx", "band_hash")
-        .sortBy("band_idx", "band_hash")
-        .saveAsTable(s"${name}_bands")
-      unseen(
+      write(
+        unseen(bandsDf, s"${name}_bands").withColumn("src_batch", lit(batchId)),
+        s"${name}_bands", Seq("band_idx", "band_hash"))
+      write(
+        unseen(
           sets.groupBy("doc_id")
             .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks")),
-          s"${name}_toks")
-        .withColumn("src_batch", lit(batchId))
-        .write.mode(mode)
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(s"${name}_toks")
+          s"${name}_toks").withColumn("src_batch", lit(batchId)),
+        s"${name}_toks", Seq("doc_id"))
     } finally {
       // deployment lifecycle: build/append run outside the query
       // harness, so the sketch caches must not outlive the write
@@ -115,11 +191,15 @@ object BandIndex {
     * and the bucketed write assigns each row back to that same bucket —
     * so each task streams one bucket to one file, with only the per-file
     * sort in between. The corpus passes through executors once; nothing
-    * is collected. The rewrite lands in a temp table first, so a failure
-    * during the (corpus-sized) rewrite leaves the original index intact;
-    * only the final drop+rename swap — two metadata operations — is a
-    * non-atomic window, and the `_compacting` table survives for manual
-    * recovery if a crash lands exactly between them. */
+    * is collected. The rewrite lands fully in the NEXT physical version,
+    * then one `CREATE OR REPLACE VIEW` retargets readers — an atomic
+    * swap with no window in which the index name fails to resolve. A
+    * crash before the swap leaves an orphan v(N+1) that stays invisible
+    * (the view still defines the current version) and is overwritten by
+    * the re-run; a crash after the swap leaves the superseded version on
+    * disk, dropped by the next successful maintenance pass. Run inside
+    * the maintenance window — appends concurrent with the rewrite would
+    * land in the version being superseded. */
   def compact(spark: org.apache.spark.sql.SparkSession, buckets: Int,
       name: String): Unit = {
     rewriteOneTable(spark, s"${name}_bands", buckets,
@@ -128,9 +208,8 @@ object BandIndex {
   }
 
   private def rewriteOneTable(spark: org.apache.spark.sql.SparkSession,
-      table: String, buckets: Int, keys: Seq[String]): Unit = {
-    val tmp = s"${table}_compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      base: String, buckets: Int, keys: Seq[String]): Unit = {
+    val next = versionOf(spark, base) + 1
     // Force the bucketed scan for the rewrite: with auto-bucketed-scan
     // (the default) Spark drops bucketing when no operator consumes the
     // partitioning — a scan→write has none — and the resulting
@@ -142,16 +221,16 @@ object BandIndex {
     val prev = spark.conf.getOption(conf)
     spark.conf.set(conf, "false")
     try
-      spark.table(table).write
+      refreshed(spark, base).write
+        .mode("overwrite") // a crashed pass may have left an orphan here
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(tmp)
+        .saveAsTable(s"${base}_v$next")
     finally prev match {
       case Some(v) => spark.conf.set(conf, v)
       case None => spark.conf.unset(conf)
     }
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    retarget(spark, base, next)
   }
 
   /** Verified near-dup matches of a new batch against the persisted
@@ -184,8 +263,8 @@ object BandIndex {
       case Some(b) => df.filter(col("src_batch") =!= b)
       case None => df
     }
-    val refBands = notOwn(spark.table(s"${name}_bands"))
-    val refToks = notOwn(spark.table(s"${name}_toks"))
+    val refBands = notOwn(refreshed(spark, s"${name}_bands"))
+    val refToks = notOwn(refreshed(spark, s"${name}_toks"))
     val cands = newBands.as("a")
       .join(refBands.as("b"),
         col("a.band_idx") === col("b.band_idx")

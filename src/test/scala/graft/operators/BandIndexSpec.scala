@@ -45,8 +45,11 @@ class BandIndexSpec extends SparkSpec {
     assert(sIdx === sDirect)
   }
 
-  private def tableFiles(table: String): Set[String] = {
-    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+  private def tableFiles(base: String): Set[String] = {
+    // the index name is a view over the current physical version — list
+    // the files of the table actually behind it
+    val loc = spark.sql(
+        s"DESCRIBE FORMATTED ${BandIndex.physicalTable(spark, base)}")
       .filter(col("col_name") === "Location").head.getString(1)
     val d = new java.io.File(new java.net.URI(loc))
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -103,5 +106,28 @@ class BandIndexSpec extends SparkSpec {
     assert(viaCompacted.queryExecution.executedPlan.toString
       .contains("Bucketed: true"),
       "compacted index must still serve bucketed scans")
+
+    // the swap retargeted the view to a NEW physical version and dropped
+    // the superseded one — readers never saw a missing table
+    assert(BandIndex.physicalTable(spark, "aidx_bands") === "aidx_bands_v2",
+      "compact must land in the next version and retarget the view")
+    assert(!spark.catalog.tableExists("aidx_bands_v1"),
+      "the superseded version must be dropped after the swap")
+
+    // crash-orphan semantics: a half-written v(N+1) left by a failed
+    // compact is INVISIBLE — the view defines the current version, so
+    // reads and appends ignore the orphan rather than adopting it
+    spark.table("aidx_bands").limit(1).write
+      .bucketBy(8, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .saveAsTable("aidx_bands_v3")
+    assert(BandIndex.physicalTable(spark, "aidx_bands") === "aidx_bands_v2",
+      "an orphan next-version table must not capture reads/appends")
+    assert(rows(BandIndex.matches(probe, "doc_id", "text",
+      64, 16, 0.8, "aidx")) === expected)
+    // ...and the next successful compact overwrites + supersedes it
+    BandIndex.compact(spark, buckets = 8, name = "aidx")
+    assert(BandIndex.physicalTable(spark, "aidx_bands") === "aidx_bands_v3")
+    assert(rows(BandIndex.matches(probe, "doc_id", "text",
+      64, 16, 0.8, "aidx")) === expected)
   }
 }

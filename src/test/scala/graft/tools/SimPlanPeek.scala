@@ -19,6 +19,8 @@ class SimPlanPeek extends SparkSpec {
   }
 
   test("quantizedTopK stage bisection") {
+    // dev tool: opt in with GRAFT_PEEK=1 (timing output only, no pins)
+    assume(sys.env.get("GRAFT_PEEK").contains("1"))
     val emb = graft.core.Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
