@@ -25,12 +25,31 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Pre-explode doc redistribution shared by [[tokenSet]] and
+    * [[shingleSet]]: one exchange of the RAW doc rows, hash-keyed on the
+    * id, before tokenization fans each doc out ~tokens×.
+    *
+    * Why an explicit exchange at all: text sketching is CPU-bound
+    * relative to its input bytes (per token: a digest + k affine mins),
+    * so Spark's byte-based split sizing under-parallelizes a text corpus
+    * badly — a single-row-group documents file scans as ONE task that
+    * then carries the whole explode+digest pipeline (measured 11.7 s on
+    * dedup_minhash_lsh at 5× sf0.1). Why HERE and keyed on doc_id:
+    * pre-explode rows are ~2 orders of magnitude smaller than the token
+    * stream (the old global `.distinct()` shuffled post-explode), and
+    * hash-partitioning by doc_id means every downstream per-doc
+    * aggregation (minhash signatures, collect_set verification arrays)
+    * finds its clustering ALREADY satisfied — the sketch pipelines drop
+    * from two corpus-sized exchanges to this one doc-sized one. */
+  private[operators] def byDoc(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   /** Distinct (id, token) pairs — the set representation used by Jaccard
     * and MinHash. Dedup is per-row (`array_distinct` before the explode),
     * not a global `.distinct()`: within-document uniqueness needs no
     * corpus-wide shuffle of every token occurrence. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    byDoc(df, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
 
   /** Distinct (id, n-word-shingle) pairs for n-gram Jaccard (n >= 2).
@@ -43,7 +62,8 @@ object Dedup {
     * queries). The short-doc filter checks the slice LENGTH, so docs with
     * fewer than n tokens drop without ever re-splitting. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       // docs shorter than n tokens have no n-shingle; filtering here keeps
       // every generated slice exactly n long (no per-slice length check)
       .filter(size(col("toks")) >= n)
@@ -485,7 +505,7 @@ object Dedup {
       chunkWords: Int, hotKeyAggregate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nSegs = ceil(size(col("toks")).cast("double") / chunkWords).cast("int")
-    val segs = df
+    val segs = byDoc(df, idCol)
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), nSegs - 1),
@@ -520,8 +540,9 @@ object Dedup {
     * explode — one shuffle on doc_id, map-side combined. */
   def simhashSig(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column, bits: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("w"))
+    val exploded = byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
       .withColumn("h", tokenHash(col("w")))
     val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))

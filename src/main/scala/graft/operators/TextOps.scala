@@ -60,7 +60,10 @@ object TextOps {
     * one partitioned aggregation — linear, no joins. */
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
-    val grams = df
+    // pre-explode doc redistribution (see Dedup.byDoc): the per-gram
+    // hash60 digest is CPU-bound, and a single-row-group corpus file
+    // would otherwise run the whole gram stage as one task
+    val grams = Dedup.byDoc(df, idCol)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(transform(
           sequence(lit(1), greatest(size(col("t")) - (k - 1), lit(1))),
@@ -147,7 +150,8 @@ object TextOps {
     * Two-level aggregation — per-(doc, token) counts then per-doc rollup —
     * both map-side partial, one shuffle key (doc_id). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    Dedup.byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
@@ -194,7 +198,8 @@ object TextOps {
     * contribute no rows. */
   private def bigramOccurrences(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    Dedup.byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(transform(
           sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
           i => struct(element_at(col("t"), i).as("w1"),
@@ -244,7 +249,7 @@ object TextOps {
     * per doc downstream with a window if needed. One shuffle for tf, one
     * for df, a hash join on the term — linear end to end. */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df
+    val tf = Dedup.byDoc(df, idCol)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
