@@ -178,6 +178,33 @@ class OperatorsSpec extends SparkSpec {
     assert(comps.values.forall(_ === 0L), "chain must collapse to node 0")
   }
 
+  test("star contraction ≡ label propagation on chains, merges, and the corpus") {
+    import spark.implicits._
+    // the same adversarial shapes the label-prop tests pin, plus the
+    // real near-dup graph: both algorithms must emit identical labelings
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (5L, 7L), (6L, 7L), (10L, 11L)).toDF("id1", "id2"),
+      (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2"), // path, diam 60
+      (1L to 50L).map(i => (0L, i)).toDF("id1", "id2"),       // hot-node star
+      Dedup.jaccardPairs(
+        Dedup.tokenSet(docs.filter(col("doc_id") < 100), "doc_id", "text"), 0.8))
+    shapes.foreach { pairs =>
+      val lp = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === lp)
+    }
+  }
+
+  test("star contraction fails loud when maxIter is too small") {
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain, maxIter = 1).collect()
+    }
+  }
+
   test("connected components on the real corpus: comp is min of its members") {
     val scoped = docs.filter(col("doc_id") < 100)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
