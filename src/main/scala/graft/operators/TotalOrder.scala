@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
 /** Scale-safe total-order primitives: global row numbers and global
   * running sums WITHOUT the single-partition window collapse.
@@ -12,34 +13,59 @@ import org.apache.spark.sql.expressions.Window
   * operation") — correct at toy scale, dead at 100 TB. The classic
   * two-pass partition-offset form used here produces identical output:
   *
-  *  1. `repartitionByRange(orderKey)`: range partitions are globally
-  *     ordered (every value in partition i sorts before every value in
-  *     partition i+1), so a global order = partition order + order
-  *     within the partition.
-  *  2. Per-partition totals (count / sum of the weight) are aggregated to
-  *     one row per partition — at most `spark.sql.shuffle.partitions`
-  *     rows, i.e. metadata-sized at any data scale.
-  *  3. Each partition's PREFIX offset (total over all lower partitions)
-  *     comes from a triangular self-join over that tiny totals frame, and
-  *     is broadcast back onto the data.
-  *  4. The global value = prefix offset + an intra-partition window
-  *     (hash-partitioned on the physical partition id — linear, parallel).
+  *  1. Bucket rows so buckets are globally ordered (every value in bucket
+  *     i sorts before every value in bucket i+1): a global order = bucket
+  *     order + order within the bucket.
+  *  2. Per-bucket totals (count / sum of the weight) are aggregated to
+  *     one row per bucket — at most `spark.sql.shuffle.partitions` rows,
+  *     i.e. metadata-sized at any data scale.
+  *  3. Each bucket's PREFIX offset (total over all lower buckets) comes
+  *     from a triangular self-join over that tiny totals frame, and is
+  *     broadcast back onto the data.
+  *  4. The global value = prefix offset + an intra-bucket window
+  *     (hash-partitioned on the bucket id — linear, parallel).
   *
-  * The offsets are computed in-plan (no driver `collect`), and the
-  * range-partitioned frame is MATERIALIZED ONCE (`.cache()`) so the totals
-  * branch and the data branch read the same physical partitioning.
-  * Correctness requires this: RangePartitioner draws its reservoir-sample
-  * boundaries with a seed derived from the runtime RDD id, so two separate
-  * range exchanges over the same input (which is what column pruning or an
-  * AQE re-plan produces once exchange reuse fails to fire) can draw
-  * DIFFERENT boundaries whenever the sampler actually subsamples — exactly
-  * the regime this operator exists for. With one cached materialization
-  * there is one boundary draw by construction; the cache is plan-shaped
-  * like the minhash band-frame cache (cache, not localCheckpoint — see
-  * Dedup.minhashNearDups) and bounded by the harness's per-query
-  * `spark.catalog.clearCache()`; long-lived library callers should do the
-  * same. A ScaleSpec property test additionally pins that the output is
-  * invariant to the partition count itself.
+  * Two bucketing strategies, picked by the order column's type:
+  *
+  *  - ORDERED-NUMERIC (ints, floats, decimals, dates, timestamps — every
+  *    caller in this library): bucket boundaries are in-plan approximate
+  *    quantiles of the order column, and the bucket id is a pure,
+  *    deterministic function of (row value, boundaries). The only
+  *    materialized state is the ONE-ROW boundary frame (cached so every
+  *    consumer reads a single sketch draw — approx-quantile merge order
+  *    is scheduling-dependent, so an uncached boundary frame could give
+  *    the totals branch and the data branch different buckets). The full
+  *    data is NEVER cached and is shuffled exactly once (the window's
+  *    hash exchange on the bucket id). Compare the alternative below,
+  *    which samples the input on the driver, range-shuffles the data,
+  *    caches the whole frame, and THEN hash-shuffles it again for the
+  *    window — at 100 TB that cache is the difference between a
+  *    metadata-sized footprint and spilling the corpus to executor disk.
+  *    Monotone NON-strict double images are sufficient: a long→double
+  *    cast can collapse two adjacent keys to one double (≥2^53) but can
+  *    never invert their order, so a collision only merges their buckets
+  *    and the intra-bucket sort (on the original column) still orders
+  *    them exactly.
+  *
+  *  - ANY ORDERABLE TYPE (strings, structs): fall back to
+  *    `repartitionByRange(orderKey)` with the ranged frame MATERIALIZED
+  *    ONCE (`.cache()`) so the totals branch and the data branch read the
+  *    same physical partitioning. Correctness requires this cache:
+  *    RangePartitioner draws its reservoir-sample boundaries with a seed
+  *    derived from the runtime RDD id, so two separate range exchanges
+  *    over the same input can draw DIFFERENT boundaries whenever the
+  *    sampler actually subsamples — exactly the regime this operator
+  *    exists for. (Quantile bucketing cannot serve strings:
+  *    percentile_approx has no order-preserving image for them, and a
+  *    byte-prefix image degenerates to one bucket on common-prefix keys.)
+  *
+  * The offsets are computed in-plan (no driver `collect`); caches are
+  * bounded by the harness's per-query `spark.catalog.clearCache()` and
+  * [[CacheOnce]] keeps either path idempotent across gates that share a
+  * canonical plan. A ScaleSpec property test pins that both paths'
+  * output is invariant to the partition count, matches the
+  * single-partition-window ground truth under adversarial skew, and that
+  * the string fallback stays live.
   *
   * Determinism: `orderCol` must be a total order (unique per row) for the
   * running values to be well-defined — the same requirement the
@@ -48,29 +74,69 @@ import org.apache.spark.sql.expressions.Window
   */
 object TotalOrder {
 
-  /** Range-partition `df` on `orderCol` and attach the physical partition
-    * id (`_pid`) plus that partition's prefix offset (`_prefix` = sum of
-    * `weight` over all lower partitions). Internal: callers drop both. */
+  /** Order-preserving (monotone non-strict) double image of the order
+    * column, or None when the type has no such image and the caller must
+    * take the range-partitioner fallback. */
+  private def doubleImage(dt: DataType, c: Column): Option[Column] = dt match {
+    case _: NumericType => Some(c.cast("double"))
+    case DateType | TimestampType | TimestampNTZType =>
+      Some(c.cast("timestamp").cast("double"))
+    case _ => None
+  }
+
+  /** Attach `_pid` (globally-ordered bucket id) and `_prefix` (sum of
+    * `weight` over all lower buckets). Internal: callers drop both. */
   private def withPrefixOffsets(df: DataFrame, orderCol: String,
+      weight: Column): DataFrame =
+    doubleImage(df.schema(orderCol).dataType, col(orderCol)) match {
+      case Some(img) => quantilePrefixOffsets(df, img, weight)
+      case None      => rangePrefixOffsets(df, orderCol, weight)
+    }
+
+  /** Ordered-numeric path: deterministic quantile-boundary bucketing.
+    * The one-row boundary frame is the ONLY materialized state. */
+  private def quantilePrefixOffsets(df: DataFrame, img: Column,
       weight: Column): DataFrame = {
-    // cache = the single physical materialization both branches read; see
-    // the scaladoc above for why this is a correctness requirement, not an
-    // optimization ([[CacheOnce]] keeps the call idempotent across gates
-    // that share this canonical plan)
+    val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (nb <= 1)
+      // degenerate single bucket: the window itself is the whole order
+      return df.withColumn("_pid", lit(0)).withColumn("_prefix", lit(0L))
+    val probs = (1 until nb).map(i => lit(i.toDouble / nb))
+    // one row, nb-1 doubles — cached so both branches read ONE sketch draw
+    val bnds = CacheOnce(df.agg(
+      percentile_approx(img, array(probs: _*), lit(10000)).as("_bnds")))
+    // bucket id = count of boundaries strictly below the value: monotone
+    // non-decreasing in the total order, so bucket i < bucket i+1 holds
+    val bucketed = df.crossJoin(broadcast(bnds))
+      // coalesce: a null order key (outside the uniqueness contract, but
+      // the range path kept such rows first) must land in bucket 0, not
+      // null out of the offsets join
+      .withColumn("_pid", coalesce(aggregate(col("_bnds"), lit(0),
+        (acc, b) => acc + when(img > b, 1).otherwise(0)), lit(0)))
+      .drop("_bnds")
+    val totals = bucketed.groupBy(col("_pid")).agg(sum(weight).as("_ptot"))
+    bucketed.join(broadcast(prefixOf(totals)), Seq("_pid"))
+  }
+
+  /** Fallback for types without a numeric image: range partitioning with
+    * a single cached materialization (see scaladoc for why the cache is a
+    * correctness requirement here, not an optimization). */
+  private def rangePrefixOffsets(df: DataFrame, orderCol: String,
+      weight: Column): DataFrame = {
     val parted = CacheOnce(df.repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id()))
-    // one row per partition — bounded by spark.sql.shuffle.partitions
     val totals = parted.groupBy(col("_pid")).agg(sum(weight).as("_ptot"))
-    // prefix sum over <= numPartitions rows: a triangular join on this
-    // metadata-sized frame beats a window (which would itself be a
-    // single-partition WindowExec and trip the gate-wide plan audit)
-    val offsets = totals.as("a")
+    parted.join(broadcast(prefixOf(totals)), Seq("_pid"))
+  }
+
+  /** Prefix sum over a ≤numPartitions-row totals frame: a triangular join
+    * on this metadata-sized frame beats a window (which would itself be a
+    * single-partition WindowExec and trip the gate-wide plan audit). */
+  private def prefixOf(totals: DataFrame): DataFrame =
+    totals.as("a")
       .join(totals.as("b"), col("b._pid") < col("a._pid"), "left")
       .groupBy(col("a._pid").as("_pid"))
       .agg(coalesce(sum(col("b._ptot")), lit(0L)).as("_prefix"))
-    // true bounded broadcast: numPartitions rows regardless of data size
-    parted.join(broadcast(offsets), Seq("_pid"))
-  }
 
   /** Global `row_number() OVER (ORDER BY orderCol)` as `out` (LongType),
     * identical to the single-partition window on a unique key. */

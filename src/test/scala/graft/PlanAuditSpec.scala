@@ -137,21 +137,29 @@ class PlanAuditSpec extends SparkSpec {
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
       "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
     // TotalOrder gates get a SCOPED exemption, not a whole-query one: the
-    // only admissible nested-loop join in their plans is the triangular
-    // prefix-offset join over the per-partition totals frame (condition on
-    // _pid; <= spark.sql.shuffle.partitions rows at ANY data scale). A
-    // future accidental cross join elsewhere in those plans still flags.
+    // only admissible nested-loop joins in their plans are (a) the
+    // triangular prefix-offset join over the per-partition totals frame
+    // (condition on _pid; <= spark.sql.shuffle.partitions rows at ANY
+    // data scale) and (b) the condition-free broadcast of the ONE-ROW
+    // quantile-boundary frame (sole output column _bnds — the
+    // scalar-subquery pattern, same justification as q20). A future
+    // accidental cross join elsewhere in those plans still flags.
     val totalOrderGates = Set("etl_surrogate_keys", "smp_token_budget",
       "smp_token_shards", "smp_pack_sequences")
     def isPidTriangular(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
       cond.exists(_.references.forall(_.name == "_pid"))
+    def isBoundaryBroadcast(j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean =
+      j.condition.isEmpty &&
+        (j.left.output.map(_.name) == Seq("_bnds") ||
+         j.right.output.map(_.name) == Seq("_bnds"))
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
         val plan = q.run(spark, dir).queryExecution.sparkPlan
         val flags = plan.collect {
           case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-              if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>
+              if !(totalOrderGates(q.name) &&
+                   (isPidTriangular(j.condition) || isBoundaryBroadcast(j))) =>
             "BroadcastNestedLoopJoin"
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>

@@ -164,4 +164,25 @@ class ScaleSpec extends SparkSpec {
     assert(rn === expectRn, "row numbers wrong under key skew")
     assert(cum === expectCum, "running sums wrong under key skew")
   }
+
+  test("TotalOrder string keys take the range fallback and stay correct") {
+    // numeric keys ride the quantile-boundary fast path, so the
+    // range-partitioner fallback would silently lose coverage without a
+    // string-keyed pin; string order (binary collation) must match the
+    // driver-side sort exactly, including keys of unequal length
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"doc${i % 7}~${i}") ++
+      Seq("a", "zzzz", "doc", "doc~")
+    val df = keys.map(k => (k, k.length.toLong)).toDF("k", "w").repartition(16)
+    val rn = graft.operators.TotalOrder.globalRowNumber(df, "k", "rn")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("rn")).toMap
+    val cum = graft.operators.TotalOrder.globalCumSum(df, "k", "w", "cum")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cum")).toMap
+    val sorted = keys.sorted
+    assert(rn === sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap,
+      "string-key row numbers diverge from driver-side sort")
+    var running = 0L
+    val expectCum = sorted.map { k => running += k.length; k -> running }.toMap
+    assert(cum === expectCum, "string-key running sums diverge")
+  }
 }
