@@ -141,6 +141,81 @@ object EtlParity {
         .orderBy("order_sk").limit(100)
     },
 
+    // ---- [EXT] Keyed upsert as frame algebra (FrameLoads.upsertKeyed):
+    // the lakehouse counterpart of the JDBC sink's upsert mode — batch
+    // rows replace their keys in the snapshot, everything else is kept.
+    // Snapshot = customer dim; batch = BUILDING customers with a +100
+    // balance adjustment (a simulated re-run with changed rows).
+    GQuery(
+      "etl_upsert_keyed",
+      """SELECT c_custkey, c_name, bal FROM (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS bal
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val current = cust.select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      val batch = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 100, 2).as("bal"))
+      graft.etl.FrameLoads.upsertKeyed(current, batch, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- [EXT] SCD-2 merge as frame algebra (FrameLoads.scd2Merge):
+    // the effective-dated history transition — the batch closes each
+    // matched key's open version (valid_to := effective date) and opens
+    // a new current one; the oracle replays the same transition as a
+    // left join + union. valid_to is emitted with the 9999-12-31 open
+    // sentinel so the hash never compares engine NULL renderings.
+    GQuery(
+      "etl_scd2_merge",
+      """SELECT c_custkey, c_name, bal,
+        |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        |  strftime(coalesce(valid_to, DATE '9999-12-31'), '%Y-%m-%d') AS valid_to,
+        |  is_current
+        |FROM (
+        |  SELECT c.c_custkey, c.c_name, c.bal, c.valid_from,
+        |    CASE WHEN b.c_custkey IS NOT NULL THEN DATE '1998-06-01'
+        |         ELSE CAST(NULL AS DATE) END AS valid_to,
+        |    b.c_custkey IS NULL AS is_current
+        |  FROM (
+        |    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal,
+        |      DATE '1992-01-01' AS valid_from
+        |    FROM customer) c
+        |  LEFT JOIN (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+        |    ON c.c_custkey = b.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS bal,
+        |    DATE '1998-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    true AS is_current
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val current = cust.select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .withColumn("valid_from", lit("1992-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val batch = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 100, 2).as("bal"))
+      graft.etl.FrameLoads.scd2Merge(current, batch, Seq("c_custkey"),
+          lit("1998-06-01"))
+        .select(col("c_custkey"), col("c_name"), col("bal"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(coalesce(col("valid_to"), lit("9999-12-31").cast("date")),
+            "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
     // ---- L2: append-only load = UNION ALL accumulation semantics.
     GQuery(
       "etl_append_union",

@@ -446,6 +446,41 @@ object TextDedup {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // ---- Star-contraction components twin: same pair graph, same
+    // recursive-CTE oracle, but resolved by the large-star/small-star
+    // edge-contraction variant (the edge-heavy-graph form, SURVEY §2.5).
+    // A hash match against the SAME closure proves the two algorithms
+    // agree on every chain — the star form's driver-gated correctness
+    // evidence beyond its unit spec.
+    GQuery(
+      "dedup_components_star",
+      """WITH RECURSIVE w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2
+        |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+        |edges AS (
+        |  SELECT id1 AS s, id2 AS d FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT walk.s, e.d FROM walk JOIN edges e ON walk.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS comp
+        |FROM walk GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(Dedup.tokenSet(docs, "doc_id", "text"), 0.8)
+      Dedup.connectedComponentsStar(pairs).orderBy("doc_id")
+    },
+
     // ---- Dedup diagnostic: cluster-size histogram over the near-dup
     // graph ("how much of the corpus is duplicated, in what size
     // clusters?"). Docs in no pair count as size-1 clusters; the oracle
