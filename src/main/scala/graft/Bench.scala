@@ -83,7 +83,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // dev A/B knob for the scheduling-floor experiment: more initial
+      // shuffle partitions would only help if task skew (not task count)
+      // limited the small-sf gates; default stays = cores (measured, see
+      // BENCH_NOTES round 8)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
