@@ -98,9 +98,12 @@ object Relational {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
       // customer is fact-scale at TPC-H sf100+ — no broadcast hint; the
-      // segment filter makes it AQE-broadcastable when it actually fits
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // segment filter makes it AQE-broadcastable when it actually fits.
+      // orders⋈customer runs FIRST so lineitem (the widest input) joins
+      // against the doubly-filtered orders — when that side fits, AQE
+      // broadcasts it and lineitem is never shuffled at all
+      l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
