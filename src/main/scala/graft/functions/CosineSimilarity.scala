@@ -127,6 +127,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val minhashName = "graft_minhash"
   val intersectName = "graft_intersect_count"
+  val intersectSortedName = "graft_intersect_count_sorted"
   val quantizeName = "graft_quantize_int8"
 
   /** Idempotent session registration of the custom expressions, planner
@@ -156,6 +157,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
     }
+    ifAbsent(intersectSortedName) {
+      registry.createOrReplaceTempFunction(
+        intersectSortedName,
+        exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
+    }
     ifAbsent(quantizeName) {
       registry.createOrReplaceTempFunction(
         quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
@@ -180,6 +186,11 @@ object GraftFunctions {
     * verification kernel. */
   def intersectCount(a: Column, b: Column): Column =
     call_function(intersectName, a, b)
+
+  /** |a ∩ b| of two SORTED DISTINCT array<string> columns (merge walk,
+    * zero per-row allocation) — see [[IntersectCountSorted]]'s contract. */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    call_function(intersectSortedName, a, b)
 
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =

@@ -174,8 +174,14 @@ object BandIndex {
         s"${name}_bands", Seq("band_idx", "band_hash"))
       write(
         unseen(
+          // sort_array is part of the index FORMAT contract: matches()
+          // verifies with the merge-walk kernel (IntersectCountSorted),
+          // which under-counts on unsorted arrays. An index persisted by a
+          // pre-sort build must be rebuilt (build() or compact-as-rebuild)
+          // before this version reads it.
           sets.groupBy("doc_id")
-            .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n_toks")),
+            .agg(sort_array(collect_set(col("w"))).as("toks"),
+              count(lit(1)).as("n_toks")),
           s"${name}_toks").withColumn("src_batch", lit(batchId)),
         s"${name}_toks", Seq("doc_id"))
     } finally {
@@ -273,7 +279,7 @@ object BandIndex {
         col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
       .distinct()
     val newArr = newSets.groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks1"))
+      .agg(sort_array(collect_set(col("w"))).as("toks1"))
       .withColumnRenamed("doc_id", "id_new")
     val refArr = refToks
       .select(col("doc_id").as("id_ref"), col("toks").as("toks2"))

@@ -177,7 +177,10 @@ object Dedup {
       .select(col("a.doc_id").as("id"), col("b.doc_id").as("other"),
         col("a.n").as("n_id"), col("b.n").as("n_other"))
       .distinct()
-    val tokArr = toks.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    // sorted at build (once per doc) so the per-pair kernel is an
+    // allocation-free merge walk — see IntersectCountSorted's contract
+    val tokArr = toks.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("w"))).as("toks"))
     cands
       .filter(col("n_other").cast("double")
         >= lit(threshold) * col("n_id").cast("double"))
@@ -185,7 +188,7 @@ object Dedup {
       .join(tokArr.select(col("doc_id").as("id"), col("toks").as("toks_a")), Seq("id"))
       .join(tokArr.select(col("doc_id").as("other"), col("toks").as("toks_b")), Seq("other"))
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCount(col("toks_a"), col("toks_b")))
+        graft.functions.GraftFunctions.intersectCountSorted(col("toks_a"), col("toks_b")))
       .withColumn("containment", col("c").cast("double") / size(col("toks_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id"), col("other"), round(col("containment"), 4).as("containment"))
@@ -325,7 +328,11 @@ object Dedup {
     * would allocate an intermediate array per candidate pair). */
   private def verifyCandidates(cands: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    val tokArr = sets.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    // sort_array at build: one corpus-sized sort buys an allocation-free
+    // merge-walk kernel on the candidate-sized (quadratic-in-density)
+    // verification loop — see IntersectCountSorted's contract
+    val tokArr = sets.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("w"))).as("toks"))
     cands
       // Length filter (PPJoin/AllPairs-style prune): J(A,B) >= t implies
       // min(|A|,|B|) / max(|A|,|B|) >= t, so size-mismatched candidates
@@ -338,7 +345,7 @@ object Dedup {
       .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
       .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
+        graft.functions.GraftFunctions.intersectCountSorted(col("toks1"), col("toks2")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -439,10 +446,10 @@ object Dedup {
         col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
       .distinct()
     val newArr = newSets.groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks1"))
+      .agg(sort_array(collect_set(col("w"))).as("toks1"))
       .withColumnRenamed("doc_id", "id_new")
     val refArr = refSets.groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks2"))
+      .agg(sort_array(collect_set(col("w"))).as("toks2"))
       .withColumnRenamed("doc_id", "id_ref")
     crossVerify(cands, newArr, refArr, threshold)
   }
@@ -462,7 +469,7 @@ object Dedup {
       .join(newArr, Seq("id_new"))
       .join(refArr, Seq("id_ref"))
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCount(col("toks1"), col("toks2")))
+        graft.functions.GraftFunctions.intersectCountSorted(col("toks1"), col("toks2")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

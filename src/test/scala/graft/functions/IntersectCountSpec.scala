@@ -47,6 +47,51 @@ class IntersectCountSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("sorted merge-walk kernel agrees with the hash kernel and the " +
+      "composable form on sorted real-corpus arrays") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val sets = graft.operators.Dedup.tokenSet(docs, "doc_id", "text")
+    // the producer shape used by every verification tail: sorted distinct
+    val arr = sets.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("w"))).as("toks"))
+    val pairs = arr.select(col("doc_id").as("id1"), col("toks").as("t1"))
+      .crossJoin(arr.select(col("doc_id").as("id2"), col("toks").as("t2")))
+      .filter(col("id1") < col("id2"))
+    val diff = pairs
+      .withColumn("walk", GraftFunctions.intersectCountSorted(col("t1"), col("t2")))
+      .withColumn("hash", GraftFunctions.intersectCount(col("t1"), col("t2")))
+      .withColumn("ref", size(array_intersect(col("t1"), col("t2"))))
+      .filter(col("walk") =!= col("ref") || col("walk") =!= col("hash"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("sorted kernel: empties, single elements, and interpreted eval path") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // overlap 2
+      (Seq.empty[String], Seq("a")),            // empty left
+      (Seq("x"), Seq.empty[String]),            // empty right
+      (Seq("a"), Seq("a")),                     // identical singletons
+      (Seq("a", "c", "e"), Seq("b", "d", "f"))  // disjoint interleaved
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.intersectCountSorted(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 0, 0, 1, 0))
+
+    // interpreted (non-codegen) eval path must agree: evaluate the
+    // expression directly against InternalRow-converted inputs
+    val expr = IntersectCountSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b", "c"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("b", "c", "d"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    assert(expr.eval(null) === 2)
+  }
+
   test("kernel appears in the plan (codegen path, not array_intersect)") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = graft.operators.Dedup.minhashNearDups(
