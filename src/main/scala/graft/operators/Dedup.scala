@@ -551,6 +551,89 @@ object Dedup {
           lit("")).as("text_dedup"))
   }
 
+  /** Positional n-token windows: (doc_id, pos [1-based], span). Unlike
+    * [[shingleSet]] this keeps positions and does NOT dedup within the
+    * document — it is the raw material for exact substring-level
+    * duplication analysis, where WHERE a span sits matters as much as
+    * whether it exists. Docs shorter than n tokens yield no windows. */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("span"))
+
+  /** Cross-document duplicated n-token spans — the exact substring-level
+    * dedup signal (suffix-array dedup à la "Deduplicating Training Data
+    * Makes Language Models Better", approximated at fixed window size n,
+    * which catches every duplicated run of >= n tokens): each span text
+    * occurring in at least two DISTINCT documents, with document and
+    * occurrence counts. Set-level Jaccard misses these entirely when the
+    * surrounding documents differ.
+    *
+    * Scale shape: aggregated, never pairwise — one shuffle keyed on the
+    * span with map-side partial counts; a boilerplate span duplicated
+    * millions of times arrives at its reducer pre-combined per upstream
+    * task. Output is bounded by the distinct duplicated-span vocabulary,
+    * not by doc pairs. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    tokenWindows(df, idCol, textCol, n)
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document duplicated-span coverage: the fraction of each doc's
+    * token positions covered by at least one n-token span shared with
+    * ANOTHER document — the per-doc filter metric derived from
+    * [[dupSpans]] (drop or trim docs whose training value is mostly
+    * memorized boilerplate). Overlapping spans are union-merged with the
+    * classic running-max interval sweep so covered positions count once.
+    *
+    * Scale shape: the window frame feeds both the duplicated-span set and
+    * the interval scan — materialized once (CacheOnce, harness-scoped
+    * lifecycle like the LSH band cache). The interval-merge window
+    * partitions BY DOC (thousands of rows each, never a global window);
+    * everything else is equi-joins and linear aggregates. */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = CacheOnce(tokenWindows(df, idCol, textCol, n))
+    val dup = wins.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span")
+    // (doc, start, end) per duplicated-span occurrence; pos is unique per
+    // doc (one window per position), so the merge sweep's ordering is
+    // deterministic without a tiebreaker
+    val ivals = wins.join(dup, Seq("span"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(n - 1)).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val merged = ivals
+      .withColumn("prev_max_e", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e")).cast("int"))
+      .withColumn("grp", sum(col("new_grp")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg((max(col("e")) - min(col("s")) + 1).as("covered"))
+      .groupBy("doc_id")
+      .agg(sum(col("covered")).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 4).as("dup_frac"))
+  }
+
   /** SimHash over the doc's token multiset with a pluggable token hash:
     * per bit, sum +1/-1 weighted by token occurrences; bit set iff the sum
     * is positive. Computed as `bits` conditional aggregates after one

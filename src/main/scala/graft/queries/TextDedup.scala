@@ -342,9 +342,13 @@ object TextDedup {
     // verified with exact Jaccard — OperatorsSpec asserts recall vs the
     // all-pairs verifier).
     GQuery.noOracle("dedup_minhash_lsh") { (s, dir) =>
+      // no orderBy: the pair list is tens of millions of rows on a dense
+      // corpus and this gate's check is rows-only — a global sort of the
+      // full result is a range exchange + sort that buys nothing (the
+      // hash-checked portable twin keeps its sort; ITS oracle compare
+      // needs deterministic order)
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 64, bands = 16, threshold = 0.8)
-        .orderBy("id1", "id2")
     },
 
     // ---- Shingle-mode MinHash: the shingle→minhash→band→bucket-join
@@ -621,6 +625,85 @@ object TextDedup {
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
+    // ---- Exact substring-level dedup signal (fixed-window approximation
+    // of suffix-array dedup, Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better"): every 8-token span occurring in
+    // >= 2 distinct docs, with doc/occurrence counts. Aggregated on the
+    // span — never pairwise — so a boilerplate span duplicated millions
+    // of times costs one pre-combined reducer row, not a pair explosion.
+    GQuery(
+      "dedup_dup_spans",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM d) x)
+        |SELECT span,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occ
+        |FROM w GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin) { (s, dir) =>
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("span")
+    },
+
+    // ---- Per-doc duplicated-span coverage: fraction of token positions
+    // covered by an 8-token span shared with another doc (the drop/trim
+    // filter metric over dedup_dup_spans). Overlapping spans union-merge
+    // via the running-max interval sweep — the oracle replays the same
+    // window algebra, so the hash-match pins the merge, not just counts.
+    GQuery(
+      "dedup_span_coverage",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM d) x),
+        |dup AS (
+        |  SELECT span FROM w GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |iv AS (
+        |  SELECT w.doc_id, w.pos AS s, w.pos + 7 AS e
+        |  FROM w JOIN dup USING (span)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |g AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |cov AS (
+        |  SELECT doc_id, grp, max(e) - min(s) + 1 AS covered
+        |  FROM g GROUP BY doc_id, grp),
+        |percov AS (
+        |  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT l.doc_id, l.n_tokens,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / l.n_tokens, 4)
+        |    AS dup_frac
+        |FROM lens l LEFT JOIN percov p USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")
     },
 

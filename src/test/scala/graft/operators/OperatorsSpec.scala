@@ -663,4 +663,43 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("partial_min") && !plan.toLowerCase.contains("window"),
       "hot-key form must pre-reduce map-side:\n" + plan.take(2000))
   }
+
+  test("dup spans: cross-doc only, and overlapping spans union-merge " +
+      "to exact covered-token counts") {
+    import spark.implicits._
+    // doc 1 and 2 share a 10-token run (positions 3..12 in doc 1, 1..10 in
+    // doc 2); doc 3 repeats a 4-token phrase INSIDE itself only; doc 4 is
+    // unique text
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared a13 a14"),
+      (2L, s"$shared b11 b12"),
+      (3L, "c1 c2 c3 c4 x c1 c2 c3 c4"),
+      (4L, (1 to 12).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // duplicated 4-windows of the shared run: positions 1..7 of it -> 7
+    // spans, each in exactly 2 docs, once per doc
+    assert(spans.length === 7)
+    assert(spans.forall { case (_, nDocs, nOcc) => nDocs === 2 && nOcc === 2 })
+    // doc 3's self-repeat never appears: n_docs >= 2 means DISTINCT docs
+    assert(spans.forall { case (s, _, _) => !s.startsWith("c") })
+
+    val cov = Dedup.dupSpanCoverage(corpus, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
+    // 7 overlapping 4-spans union-merge to exactly the 10 shared tokens —
+    // not 7*4 = 28
+    assert(cov(1L)._1 === 10L)
+    assert(cov(2L)._1 === 10L)
+    assert(cov(1L)._2 === (10.0 / 14).round4)
+    // self-repeat and unique docs: zero coverage, present via the left join
+    assert(cov(3L) === ((0L, 0.0)))
+    assert(cov(4L) === ((0L, 0.0)))
+  }
+
+  private implicit class Round4(d: Double) {
+    def round4: Double = math.rint(d * 10000) / 10000
+  }
 }
