@@ -128,6 +128,7 @@ object GraftFunctions {
   val minhashName = "graft_minhash"
   val intersectName = "graft_intersect_count"
   val intersectSortedName = "graft_intersect_count_sorted"
+  val intersectBoundedName = "graft_intersect_count_sorted_bounded"
   val quantizeName = "graft_quantize_int8"
 
   /** Idempotent session registration of the custom expressions, planner
@@ -162,6 +163,12 @@ object GraftFunctions {
         intersectSortedName,
         exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     }
+    ifAbsent(intersectBoundedName) {
+      registry.createOrReplaceTempFunction(
+        intersectBoundedName,
+        exprs => IntersectCountSortedBounded(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
     ifAbsent(quantizeName) {
       registry.createOrReplaceTempFunction(
         quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
@@ -191,6 +198,14 @@ object GraftFunctions {
     * zero per-row allocation) — see [[IntersectCountSorted]]'s contract. */
   def intersectCountSorted(a: Column, b: Column): Column =
     call_function(intersectSortedName, a, b)
+
+  /** [[intersectCountSorted]] with the PPJoin positional filter: stops
+    * early (returning an upper bound < minCount) once the pair cannot
+    * reach `minCount` — see [[IntersectCountSortedBounded]]'s exactness
+    * contract before using the result for anything but a >= threshold
+    * filter on a count-monotone metric. */
+  def intersectCountSortedBounded(a: Column, b: Column, minCount: Column): Column =
+    call_function(intersectBoundedName, a, b, minCount)
 
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =

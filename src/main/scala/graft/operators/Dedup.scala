@@ -187,8 +187,11 @@ object Dedup {
       .drop("n_id", "n_other")
       .join(tokArr.select(col("doc_id").as("id"), col("toks").as("toks_a")), Seq("id"))
       .join(tokArr.select(col("doc_id").as("other"), col("toks").as("toks_b")), Seq("other"))
+      // positional filter: containment >= t needs c >= t·|A|
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCountSorted(col("toks_a"), col("toks_b")))
+        graft.functions.GraftFunctions.intersectCountSortedBounded(
+          col("toks_a"), col("toks_b"),
+          floor(lit(threshold) * size(col("toks_a"))).cast("int")))
       .withColumn("containment", col("c").cast("double") / size(col("toks_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id"), col("other"), round(col("containment"), 4).as("containment"))
@@ -344,8 +347,14 @@ object Dedup {
       .drop("n1", "n2")
       .join(tokArr.select(col("doc_id").as("id1"), col("toks").as("toks1")), Seq("id1"))
       .join(tokArr.select(col("doc_id").as("id2"), col("toks").as("toks2")), Seq("id2"))
+      // positional filter: J >= t needs c >= t(|a|+|b|)/(1+t); the walk
+      // breaks once unreachable (most candidates fail — that's the point).
+      // floor keeps the bound conservative; output provably unchanged.
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCountSorted(col("toks1"), col("toks2")))
+        graft.functions.GraftFunctions.intersectCountSortedBounded(
+          col("toks1"), col("toks2"),
+          floor(lit(threshold / (1.0 + threshold))
+            * (size(col("toks1")) + size(col("toks2")))).cast("int")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -468,8 +477,12 @@ object Dedup {
       .drop("n1", "n2")
       .join(newArr, Seq("id_new"))
       .join(refArr, Seq("id_ref"))
+      // positional filter — same bound derivation as verifyCandidates
       .withColumn("c",
-        graft.functions.GraftFunctions.intersectCountSorted(col("toks1"), col("toks2")))
+        graft.functions.GraftFunctions.intersectCountSortedBounded(
+          col("toks1"), col("toks2"),
+          floor(lit(threshold / (1.0 + threshold))
+            * (size(col("toks1")) + size(col("toks2")))).cast("int")))
       .withColumn("jaccard", col("c").cast("double")
         / (size(col("toks1")) + size(col("toks2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

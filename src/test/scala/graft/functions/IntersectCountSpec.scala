@@ -92,6 +92,48 @@ class IntersectCountSpec extends SparkSpec {
     assert(expr.eval(null) === 2)
   }
 
+  test("bounded kernel: exact at-or-above minCount, below-minCount when " +
+      "it breaks, and threshold-filtered sets identical on real arrays") {
+    import spark.implicits._
+    val df = Seq(
+      // |∩| = 3; minCount 2 -> must be exact (3)
+      (Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"), 2),
+      // |∩| = 0, disjoint; minCount 3 -> breaks, returns < 3
+      (Seq("a", "b", "c", "d"), Seq("e", "f", "g", "h"), 3),
+      // minCount 0 -> never breaks, exact
+      (Seq("a", "x"), Seq("x", "y"), 0)
+    ).toDF("a", "b", "m")
+    val got = df.select(GraftFunctions.intersectCountSortedBounded(
+        col("a"), col("b"), col("m"))).collect().map(_.getInt(0)).toSeq
+    assert(got.head === 3)
+    assert(got(1) < 3)
+    assert(got(2) === 1)
+
+    // pipeline-level guarantee on real corpus arrays: the >= t filtered
+    // pair set is identical whether counts come from the exact sorted walk
+    // or the bounded walk with the jaccard-derived floor bound
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val arr = graft.operators.Dedup.tokenSet(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
+    val pairs = arr.select(col("doc_id").as("id1"), col("toks").as("t1"))
+      .crossJoin(arr.select(col("doc_id").as("id2"), col("toks").as("t2")))
+      .filter(col("id1") < col("id2"))
+    val t = 0.8
+    def jac(c: org.apache.spark.sql.Column) =
+      c.cast("double") / (size(col("t1")) + size(col("t2")) - c).cast("double")
+    def surviving(c: org.apache.spark.sql.Column) = pairs
+      .filter(jac(c) >= t)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = surviving(
+      GraftFunctions.intersectCountSorted(col("t1"), col("t2")))
+    val bounded = surviving(GraftFunctions.intersectCountSortedBounded(
+      col("t1"), col("t2"),
+      floor(lit(t / (1.0 + t)) * (size(col("t1")) + size(col("t2")))).cast("int")))
+    assert(exact.nonEmpty)
+    assert(bounded === exact)
+  }
+
   test("kernel appears in the plan (codegen path, not array_intersect)") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = graft.operators.Dedup.minhashNearDups(
