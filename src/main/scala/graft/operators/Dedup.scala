@@ -895,4 +895,91 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
   }
+
+  // --------------------------------------------------------------------
+  // Portable Bloom-filter membership sketch — the URL/doc-id dedup
+  // prefilter every large-scale ingest runs before touching the corpus.
+  //
+  // The classic anti-join "which batch keys are new?" shuffles BOTH
+  // sides on the key; at 100 TB the corpus side of that shuffle is the
+  // bottleneck, and it repeats every batch. The Bloom path scans the
+  // corpus once into an m-bit bitmap (the only shuffle is ≤ m/64
+  // (word, bits) rows), broadcasts the bitmap, and probes the batch
+  // with pure per-row column algebra — zero shuffle of either side.
+  // Bloom rejects are DEFINITELY new (no false negatives), so only the
+  // pass-set — members plus the ~fpp sliver of false positives — needs
+  // the exact verification join ([[bloomNewKeys]]).
+  //
+  // The hash family is the same md5+affine construction as the portable
+  // MinHash (one 60-bit md5 per key, k affine transforms mod p = 2^31−1,
+  // every product < 2^62 so 64-bit exact in any engine), which makes the
+  // whole sketch — positions, bitmap, membership verdicts — replayable
+  // by the DuckDB oracle in its equivalent set form: "bit pos is set"
+  // ⟺ "pos ∈ the corpus's distinct position set" (gate
+  // dedup_bloom_prefilter pins exactly that, hash-checked).
+  // --------------------------------------------------------------------
+
+  /** The k portable bit positions of one key's base hash `b`:
+    * pos_i = (a_i·b + c_i) mod p mod m (same a/c family as the portable
+    * MinHash — fixed functions of i, so Spark and the SQL twin cannot
+    * drift). */
+  private def bloomPositions(b: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      (lit(affineA(i)) * b + lit(affineC(i))) % minhashP % mBits)
+
+  private def bloomBaseHash(key: Column): Column =
+    graft.operators.Sampling.hash60(key.cast("string")) % minhashP
+
+  /** Build the m-bit Bloom bitmap over `corpus`'s key column as ONE row
+    * `bloom: map<word_idx, or'd bits>` (sparse: absent word = 0L). The
+    * map is at most m/64 entries (m = 2^20 → 16 K longs ≈ 128 KB) — a
+    * broadcast-sized sketch of an arbitrarily large corpus, built with
+    * one scan + one tiny position shuffle. */
+  def bloomBuild(corpus: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits ($mBits) must be a positive multiple of 64")
+    corpus
+      .select(explode(array(
+        bloomPositions(bloomBaseHash(col(keyCol)), mBits, k): _*)).as("pos"))
+      .distinct()
+      .groupBy((col("pos") / 64).cast("long").as("word"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        (col("pos") % 64).cast("int"))).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+  }
+
+  /** Probe: `batch` plus a `bloom_pass` flag — true iff all k bits for
+    * the key are set. Per-row column algebra over the broadcast one-row
+    * bitmap: the batch never shuffles. Sign-safe bit test (AND against
+    * the shifted mask, not a shift-right of the word — bit 63's shifted
+    * word is negative). */
+  def bloomProbe(batch: DataFrame, keyCol: String, bloom: DataFrame,
+      mBits: Int, k: Int): DataFrame = {
+    val pos = array(bloomPositions(bloomBaseHash(col(keyCol)), mBits, k): _*)
+    batch.crossJoin(broadcast(bloom))
+      .withColumn("bloom_pass", forall(pos, p =>
+        coalesce(element_at(col("bloom"), (p / 64).cast("long")), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))
+          =!= 0L))
+      .drop("bloom")
+  }
+
+  /** EXACT "which batch rows are new?" through the Bloom prefilter:
+    * rejects are definitely new (no false negatives — spec-pinned);
+    * passes (members + the fpp sliver) are verified with a left-anti
+    * join whose shuffle volume is the pass-set, not the batch. Output
+    * equals the plain batch-anti-corpus join row for row (gate
+    * dedup_bloom_new hash-checks that against the plain-anti-join
+    * oracle), so callers trade nothing for the shuffle cut. */
+  def bloomNewKeys(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    // one materialization: the bitmap feeds both probe branches below
+    val bloom = CacheOnce(bloomBuild(corpus, keyCol, mBits, k))
+    val probed = bloomProbe(batch, keyCol, bloom, mBits, k)
+    val definitelyNew = probed.filter(!col("bloom_pass")).drop("bloom_pass")
+    val needVerify = probed.filter(col("bloom_pass")).drop("bloom_pass")
+    definitelyNew.unionByName(
+      needVerify.join(corpus.select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti"))
+  }
 }

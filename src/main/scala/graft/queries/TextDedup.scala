@@ -707,6 +707,67 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Portable Bloom membership prefilter: the corpus (doc_id % 5
+    // <> 0) is sketched into an m-bit bitmap, every doc probes it. The
+    // oracle replays the sketch in its equivalent set form — "bit set"
+    // ⟺ "position ∈ the corpus's distinct position set" — over the same
+    // md5+affine hash family, so the hash-match pins bitmap construction
+    // AND every per-key verdict (including any false positives, which
+    // are a deterministic function of the hash family, not noise).
+    GQuery(
+      "dedup_bloom_prefilter",
+      """WITH hk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2147483647 AS bh
+        |  FROM documents),
+        |ks AS (
+        |  SELECT i,
+        |    (2*i + 1) * 2654435761 % 2147483647 AS a,
+        |    (i * 40503 + 17) % 2147483647 AS c
+        |  FROM generate_series(0, 4) t(i)),
+        |cpos AS (
+        |  SELECT DISTINCT (a * bh + c) % 2147483647 % 131072 AS pos
+        |  FROM hk, ks WHERE doc_id % 5 <> 0),
+        |bpos AS (
+        |  SELECT doc_id, (a * bh + c) % 2147483647 % 131072 AS pos
+        |  FROM hk, ks)
+        |SELECT b.doc_id,
+        |  bool_and(c.pos IS NOT NULL) AS bloom_pass,
+        |  b.doc_id % 5 <> 0 AS is_member
+        |FROM bpos b LEFT JOIN cpos c USING (pos)
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val bloom = Dedup.bloomBuild(corpus, "doc_id", 131072, 5)
+      Dedup.bloomProbe(docs, "doc_id", bloom, 131072, 5)
+        .withColumn("is_member", col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("bloom_pass"), col("is_member"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Bloom-then-verify exact new-docs: rejects skip the join
+    // entirely (no false negatives), passes get the exact left-anti
+    // verification — output must equal the plain anti-join row for row,
+    // which is precisely what the oracle states. m is deliberately small
+    // (4096 bits) so false positives EXIST at this sf and the
+    // verification branch does real work rather than passing members
+    // only.
+    GQuery(
+      "dedup_bloom_new",
+      """SELECT d.doc_id, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0 AND c.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.bloomNewKeys(corpus, docs, "doc_id", 4096, 5)
+        .orderBy("doc_id")
+    },
+
     // ---- One-sided containment dedup: |A∩B|/|A| catches sub-document
     // duplication (a small doc fully embedded in a big one) that
     // symmetric Jaccard dilutes. Scoped all-pairs verifier like the

@@ -146,12 +146,22 @@ class PlanAuditSpec extends SparkSpec {
     // accidental cross join elsewhere in those plans still flags.
     val totalOrderGates = Set("etl_surrogate_keys", "smp_token_budget",
       "smp_token_shards", "smp_pack_sequences")
+    // Bloom gates likewise get a SCOPED exemption: the only admissible
+    // nested-loop join is the broadcast of the ONE-ROW bitmap frame
+    // (sole output column `bloom`, <= m/64 map entries — the
+    // scalar-subquery pattern again). Keyed on the build side's output,
+    // not condition-freeness: Catalyst pushes the bloom_pass filter into
+    // the join condition in dedup_bloom_new, which only makes the join
+    // cheaper. The exact-verification left-anti join stays fully audited.
+    val bloomGates = Set("dedup_bloom_prefilter", "dedup_bloom_new")
     def isPidTriangular(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
       cond.exists(_.references.forall(_.name == "_pid"))
+    def isOneRowScalarBroadcast(j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec,
+        colName: String): Boolean =
+      j.left.output.map(_.name) == Seq(colName) ||
+        j.right.output.map(_.name) == Seq(colName)
     def isBoundaryBroadcast(j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean =
-      j.condition.isEmpty &&
-        (j.left.output.map(_.name) == Seq("_bnds") ||
-         j.right.output.map(_.name) == Seq("_bnds"))
+      j.condition.isEmpty && isOneRowScalarBroadcast(j, "_bnds")
     val offenders = SparkEntry.allQueries
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
@@ -159,7 +169,8 @@ class PlanAuditSpec extends SparkSpec {
         val flags = plan.collect {
           case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
               if !(totalOrderGates(q.name) &&
-                   (isPidTriangular(j.condition) || isBoundaryBroadcast(j))) =>
+                   (isPidTriangular(j.condition) || isBoundaryBroadcast(j))) &&
+                 !(bloomGates(q.name) && isOneRowScalarBroadcast(j, "bloom")) =>
             "BroadcastNestedLoopJoin"
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>
