@@ -930,23 +930,30 @@ object Dedup {
   private def bloomBaseHash(key: Column): Column =
     graft.operators.Sampling.hash60(key.cast("string")) % minhashP
 
-  /** Build the m-bit Bloom bitmap over `corpus`'s key column as ONE row
-    * `bloom: map<word_idx, or'd bits>` (sparse: absent word = 0L). The
-    * map is at most m/64 entries (m = 2^20 → 16 K longs ≈ 128 KB) — a
-    * broadcast-sized sketch of an arbitrarily large corpus, built with
-    * one scan + one tiny position shuffle. */
-  def bloomBuild(corpus: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame = {
+  /** The pre-reduced `(word, bits)` rows of `df`'s keys — every 64-bit
+    * bitmap word touched by any key, bits OR'd map-side. At most m/64
+    * rows regardless of `df`'s size (that bound is what lets the
+    * streaming driver-resident bitmap collect this frame safely —
+    * [[graft.streaming.BloomStream]]). */
+  def bloomWords(df: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits ($mBits) must be a positive multiple of 64")
-    corpus
-      .select(explode(array(
+    df.select(explode(array(
         bloomPositions(bloomBaseHash(col(keyCol)), mBits, k): _*)).as("pos"))
       .distinct()
       .groupBy((col("pos") / 64).cast("long").as("word"))
       .agg(bit_or(call_function("shiftleft", lit(1L),
         (col("pos") % 64).cast("int"))).as("bits"))
+  }
+
+  /** Build the m-bit Bloom bitmap over `corpus`'s key column as ONE row
+    * `bloom: map<word_idx, or'd bits>` (sparse: absent word = 0L). The
+    * map is at most m/64 entries (m = 2^20 → 16 K longs ≈ 128 KB) — a
+    * broadcast-sized sketch of an arbitrarily large corpus, built with
+    * one scan + one tiny position shuffle. */
+  def bloomBuild(corpus: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame =
+    bloomWords(corpus, keyCol, mBits, k)
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
         .as("bloom"))
-  }
 
   /** Probe: `batch` plus a `bloom_pass` flag — true iff all k bits for
     * the key are set. Per-row column algebra over the broadcast one-row
