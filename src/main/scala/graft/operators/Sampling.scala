@@ -108,6 +108,48 @@ object Sampling {
       .withColumn("interleave_pos", (row_number().over(win) / w) + lit(0.0))
   }
 
+  /** Budget-constrained source mixture — the "mix sources to target token
+    * proportions" primitive (e.g. 50% web / 25% code / 25% books of a
+    * 10 B-token run): source s is allotted floor(totalBudget·w_s/Σw)
+    * tokens and fills it with its own docs in salted-portable-hash order
+    * (a reproducible uniform sample of the source, same family as
+    * [[shuffleKey]]) — docs whose inclusive running token total fits the
+    * allotment are kept, prefix semantics exactly like [[tokenBudget]].
+    * Composes the two existing primitives ([[stratifiedSample]] mixes by
+    * ROW fraction, [[tokenBudget]] caps GLOBAL tokens); training mixes
+    * are specified in tokens per source, which is this op. Sources
+    * absent from `weights` are dropped ([[interleaveBySource]]'s
+    * contract). Allotments are computed driver-side in exact integer
+    * arithmetic and emitted as literals, so any engine replays the
+    * decision. One window partitioned by source — linear, no global
+    * window; a source holding most of the corpus concentrates its
+    * partition (if that bites, pre-aggregate per (source, hash-bucket)
+    * prefix sums the way [[TotalOrder.globalCumSum]] does globally). */
+  def sourceMixture(df: DataFrame, sourceCol: String, keyCol: String,
+      tokenCol: String, totalBudget: Long,
+      weights: Map[String, Double]): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive (got $totalBudget)")
+    require(weights.nonEmpty, "sourceMixture needs at least one source weight")
+    weights.foreach { case (s, wt) =>
+      require(wt > 0 && !wt.isInfinity && !wt.isNaN,
+        s"sourceMixture weight for source '$s' must be positive finite (got $wt)")
+    }
+    val wsum = weights.values.sum
+    val allot = weights.foldLeft(lit(null).cast("long")) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s,
+        lit(math.floor(totalBudget * wt / wsum).toLong)).otherwise(acc)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hash60(concat(lit("mix|"), col(keyCol).cast("string"))),
+        col(keyCol))
+    df.withColumn("_allot", allot)
+      .filter(col("_allot").isNotNull)
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(win))
+      .filter(col("cum_tokens") <= col("_allot"))
+      .drop("_allot")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES, IPL 2006): each row draws u = [[uniform]](key) and
     * competes with sample key u^(1/w) — the top-k by key is a weighted

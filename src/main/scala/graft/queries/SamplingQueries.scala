@@ -128,6 +128,36 @@ object SamplingQueries {
         .orderBy("interleave_pos", "doc_id")
     },
 
+    // ---- Budget-constrained source mixture: each source gets its
+    // weight's share of a 2000-token budget (src0 1000 / src1 500 /
+    // src2 500 — exact driver-side integers), filled by that source's
+    // docs in salted-hash order. The decision — hash order, running sum,
+    // allotment compare — is a pure function of the data, so DuckDB
+    // replays every kept doc and running total exactly.
+    GQuery(
+      "smp_source_mixture",
+      """SELECT doc_id, source, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM (
+        |  SELECT doc_id, source,
+        |    sum(len(string_split_regex(trim(text), '\s+'))) OVER (
+        |      PARTITION BY source
+        |      ORDER BY ('0x' || substring(md5('mix|' || doc_id), 1, 15))::BIGINT,
+        |               doc_id) AS cum_tokens
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')) x
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
+        |                                WHEN 'src1' THEN 500
+        |                                WHEN 'src2' THEN 500 END
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      Sampling.sourceMixture(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextOps.tokenCount(col("text")).as("n_toks")),
+          "source", "doc_id", "n_toks", totalBudget = 2000L,
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id", "source", "cum_tokens")
+        .orderBy("source", "doc_id")
+    },
+
     // ---- Greedy sequence packing: docs in id order packed into
     // <= 512-token training sequences, never splitting a doc and never
     // letting one straddle the limit (long docs sit alone). Sequential by

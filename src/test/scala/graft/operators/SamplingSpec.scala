@@ -84,6 +84,48 @@ class SamplingSpec extends SparkSpec {
       assert(cums.last + all(shard.length).getAs[Long]("n") > 5000L)
   }
 
+  test("sourceMixture: per-source allotments honored, maximal, unlisted dropped") {
+    val withN = docs.select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n"))
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val allot = Map("src0" -> 1000L, "src1" -> 500L, "src2" -> 500L)
+    val mixed = Sampling.sourceMixture(withN, "source", "doc_id", "n",
+        totalBudget = 2000L, weights)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("cum_tokens")))
+    assert(mixed.nonEmpty)
+    assert(mixed.map(_._2).toSet.subsetOf(weights.keySet),
+      "unlisted sources must be dropped")
+    val bySource = mixed.groupBy(_._2)
+    bySource.foreach { case (s, ds) =>
+      assert(ds.map(_._3).max <= allot(s),
+        s"source $s exceeds its ${allot(s)}-token allotment")
+    }
+    // maximality: the first EXCLUDED doc per source (in the same salted
+    // hash order) would have blown the allotment
+    val hashed = withN
+      .withColumn("h", Sampling.hash60(
+        concat(lit("mix|"), col("doc_id").cast("string"))))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n"), r.getAs[Long]("h")))
+    weights.keys.foreach { s =>
+      val kept = bySource.get(s).map(_.map(_._1).toSet).getOrElse(Set.empty)
+      val ordered = hashed.filter(_._2 == s).sortBy(t => (t._4, t._1))
+      val keptTotal = bySource.get(s).map(_.map(_._3).max).getOrElse(0L)
+      ordered.find(t => !kept.contains(t._1)).foreach { firstOut =>
+        assert(keptTotal + firstOut._3 > allot(s),
+          s"source $s stopped early: ${keptTotal} + ${firstOut._3} fits ${allot(s)}")
+      }
+    }
+    // deterministic: same inputs, same selection
+    val again = Sampling.sourceMixture(withN, "source", "doc_id", "n",
+        totalBudget = 2000L, weights)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === mixed.map(t => (t._1, t._2)).toSet)
+  }
+
   test("packSequences: greedy invariants on the real corpus") {
     val withN = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
     val packed = Sampling.packSequences(withN, "doc_id", "n",
