@@ -130,6 +130,7 @@ object GraftFunctions {
   val intersectSortedName = "graft_intersect_count_sorted"
   val intersectBoundedName = "graft_intersect_count_sorted_bounded"
   val quantizeName = "graft_quantize_int8"
+  val signBucketsName = "graft_sign_buckets"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -173,6 +174,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
     }
+    ifAbsent(signBucketsName) {
+      registry.createOrReplaceTempFunction(
+        signBucketsName, exprs => SignBuckets(exprs(0), exprs(1)), "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -214,4 +219,11 @@ object GraftFunctions {
   /** Fused int8 quantization → struct<scale: double, qvec: array<long>>. */
   def quantizeInt8(embedding: Column): Column =
     call_function(quantizeName, embedding)
+
+  /** Sign-of-projection LSH bucket id against a literal plane matrix —
+    * one fused loop instead of one interpreted fold per plane. */
+  def signBuckets(embedding: Column, planes: Array[Array[Double]]): Column =
+    call_function(signBucketsName, embedding,
+      org.apache.spark.sql.functions.typedlit(
+        planes.map(_.toIndexedSeq).toIndexedSeq))
 }

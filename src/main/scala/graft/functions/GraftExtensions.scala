@@ -30,6 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.signBucketsName),
+      new ExpressionInfo(
+        classOf[SignBuckets].getName,
+        null,
+        GraftFunctions.signBucketsName,
+        "_FUNC_(v, planes) - sign-of-projection LSH bucket id of a " +
+          "numeric-array vector against a foldable plane matrix, fused loop",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignBuckets(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.quantizeName),
       new ExpressionInfo(
         classOf[QuantizeInt8].getName,

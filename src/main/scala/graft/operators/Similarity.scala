@@ -105,8 +105,21 @@ object Similarity {
     Array.fill(numPlanes, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0. */
+  /** Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0.
+    * Fused native kernel ([[graft.functions.SignBuckets]]): one
+    * expression node holding the plane matrix, one loop per row. The
+    * fold form below built numPlanes interpreted HOF folds under a
+    * numPlanes×dim-literal tree — measured ~0.85 s of constant
+    * plan/compile/interpret cost on the bucket gates at EVERY data
+    * scale. Same arithmetic, same null algebra (SignBucketsSpec pins
+    * parity row-for-row). */
   def bucketId(embedding: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.GraftFunctions.signBuckets(embedding, planes)
+
+  /** Higher-order-function formulation of [[bucketId]] — kept as the
+    * registration-free fallback and the value-parity cross-check for
+    * the native kernel (same pattern as [[cosineFold]]). */
+  def bucketIdFold(embedding: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(embedding, planeCol) > 0, lit(1L << p)).otherwise(0L)
