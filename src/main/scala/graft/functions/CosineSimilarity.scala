@@ -131,6 +131,7 @@ object GraftFunctions {
   val intersectBoundedName = "graft_intersect_count_sorted_bounded"
   val quantizeName = "graft_quantize_int8"
   val signBucketsName = "graft_sign_buckets"
+  val projectPlanesName = "graft_project_planes"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -178,6 +179,10 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         signBucketsName, exprs => SignBuckets(exprs(0), exprs(1)), "built-in")
     }
+    ifAbsent(projectPlanesName) {
+      registry.createOrReplaceTempFunction(
+        projectPlanesName, exprs => ProjectPlanes(exprs(0), exprs(1)), "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -224,6 +229,13 @@ object GraftFunctions {
     * one fused loop instead of one interpreted fold per plane. */
   def signBuckets(embedding: Column, planes: Array[Array[Double]]): Column =
     call_function(signBucketsName, embedding,
+      org.apache.spark.sql.functions.typedlit(
+        planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** All per-plane dot products against a literal plane matrix as one
+    * array<double> — the fused mat-vec kernel behind JL projection. */
+  def projectPlanes(embedding: Column, planes: Array[Array[Double]]): Column =
+    call_function(projectPlanesName, embedding,
       org.apache.spark.sql.functions.typedlit(
         planes.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -41,6 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SignBuckets(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.projectPlanesName),
+      new ExpressionInfo(
+        classOf[ProjectPlanes].getName,
+        null,
+        GraftFunctions.projectPlanesName,
+        "_FUNC_(v, planes) - all per-plane dot products of a numeric-array " +
+          "vector against a foldable plane matrix as array<double>, fused loop",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ProjectPlanes(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.quantizeName),
       new ExpressionInfo(
         classOf[QuantizeInt8].getName,

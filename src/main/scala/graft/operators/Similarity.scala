@@ -332,6 +332,25 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(k, dim, seed)
     val scale = math.sqrt(3.0 / k)
+    // fused mat-vec kernel ([[graft.functions.ProjectPlanes]]): one loop
+    // per row for all k dots. The fold form below ran k interpreted HOF
+    // folds per row (measured 0.16 -> 0.85 s across 10x rows on the
+    // gate); the per-element scale multiply stays column algebra so the
+    // arithmetic (dot * scale, null dots propagated) is unchanged.
+    vectors
+      .select(col("vec_id"), posexplode(transform(
+        graft.functions.GraftFunctions.projectPlanes(col("embedding"), planes),
+        d => d * lit(scale))).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+  }
+
+  /** Higher-order-function formulation of [[randomProjection]] — kept as
+    * the registration-free fallback and the value-parity cross-check for
+    * the native kernel (same pattern as [[cosineFold]]/[[bucketIdFold]]). */
+  def randomProjectionFold(vectors: DataFrame, k: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(k, dim, seed)
+    val scale = math.sqrt(3.0 / k)
     val comps = planes.toIndexedSeq.map { p =>
       dot(col("embedding"), array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
     }
