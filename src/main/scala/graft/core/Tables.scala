@@ -57,22 +57,38 @@ object Tables {
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos (legacy conf) and convert
-      // to a micros timestamp with integer division — `ts div 1000` stays
-      // in long arithmetic (a double roundtrip would lose precision above
-      // 2^53 ns). DuckDB oracles cast with CAST(ts AS TIMESTAMP) for the
-      // same micros truncation.
+      // events.ts has shipped in two physical layouts across testdata
+      // generations, so the load is schema-adaptive:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read the
+      //    raw int64 nanos (legacy conf) and convert with `ts div 1000` —
+      //    integer division stays in long arithmetic (a double roundtrip
+      //    would lose precision above 2^53 ns).
+      //  - TIMESTAMP(MICROS) (current layout, isAdjustedToUTC=false →
+      //    TIMESTAMP_NTZ): already a timestamp; cast to the session-zone
+      //    type (session TZ is UTC everywhere here, so rendered values are
+      //    identical to the nanos path's timestamp_micros output).
+      // DuckDB oracles CAST(ts AS TIMESTAMP) — the same micros value.
       //
-      // The raw nanos survive as `ts_ns`: predicates on the converted `ts`
-      // cannot push through timestamp_micros(), so time-range scans (CDC
-      // watermark, partition pruning at scale) must filter on ts_ns — see
-      // eventsTsNanos for literal conversion.
+      // Both layouts expose the same logical surface: `ts` (timestamp,
+      // micros precision) and `ts_ns` (epoch nanos long, API compat).
+      // Which column a time-range predicate must target to reach the
+      // parquet row-group statistics DIFFERS by layout — use
+      // [[eventsAfter]] instead of filtering by hand.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
-      raw.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          // keep the RAW physical column visible as `ts_raw`: predicates on
+          // it collapse to the base attribute and push into the scan, which
+          // the derived ts/ts_ns can't (cast/unix_micros wrap the column)
+          raw.withColumn("ts_raw", col("ts"))
+            .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+            .withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(path(dir, name))
   }
 
@@ -82,6 +98,26 @@ object Tables {
   def eventsTsNanos(utcInstant: String): Long = {
     val i = java.time.Instant.parse(utcInstant)
     i.getEpochSecond * 1000000000L + i.getNano
+  }
+
+  /** Strict-`>` time watermark on the events frame, targeting whichever
+    * column reaches the parquet row-group statistics for the layout the
+    * frame was loaded from (CDC incremental scans at 100 TB live or die on
+    * this pushdown): the raw int64 nanos under the TIMESTAMP(NANOS)
+    * layout, the raw NTZ timestamp under TIMESTAMP(MICROS). Both compare
+    * the same instant; sub-second precision is preserved. */
+  def eventsAfter(events: DataFrame, utcInstant: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (events.columns.contains("ts_raw")) {
+      // micros layout: the raw column is NTZ; an NTZ literal comparison
+      // collapses to the base attribute and pushes into the scan. The
+      // instant's wall-clock rendering at UTC IS the NTZ value.
+      val ntz = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.parse(utcInstant), java.time.ZoneOffset.UTC)
+      events.filter(col("ts_raw") > lit(ntz))
+    } else {
+      events.filter(col("ts_ns") > eventsTsNanos(utcInstant))
+    }
   }
 
   /** Register every table as a temp view so the same surface is reachable

@@ -92,12 +92,11 @@ object EtlParity {
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      // strict-> watermark on the RAW nanos column: the converted `ts`
-      // cannot push through timestamp_micros(), ts_ns reaches the parquet
-      // row-group statistics (asserted by PlanAuditSpec)
-      t(s, dir, "events")
-        .filter(col("ts_ns") >
-          graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00Z"))
+      // strict-> watermark on the RAW physical column (layout-adaptive —
+      // the converted `ts` cannot push through its cast): the predicate
+      // reaches the parquet row-group statistics (asserted by PlanAuditSpec)
+      graft.core.Tables.eventsAfter(
+          t(s, dir, "events"), "2024-01-25T00:00:00Z")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },

