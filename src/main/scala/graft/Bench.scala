@@ -100,23 +100,19 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
-      // Broadcast thresholds are split by evidence quality (A/B'd r9, see
-      // BENCH_NOTES):
-      //  - STATIC planning sees only file-size-derived estimates (a filter
-      //    passes through untouched, a join estimates as the children's
-      //    product), which mis-ranks sides — at sf0.1 it broadcast q03's
-      //    490k-row filtered lineitem because column pruning priced it
-      //    under threshold while the truly-small orders⋈customer side
-      //    carried a product estimate. Static broadcasts are off; every
-      //    broadcast decision waits for a measured stage size.
-      //  - ADAPTIVE re-planning sees exact materialized sizes; 64 MB lets
-      //    AQE broadcast what actually fits (the minhash verification
-      //    join's ~10-15 MB build side needs more than the 10 MB default).
-      //    At corpus scale build sides exceed any threshold and correctly
-      //    fall back to shuffled joins (PlanAuditSpec guards no forced
-      //    hint). Explicit broadcast() hints on true dims are unaffected.
+      // size-gated broadcast, not hints: the minhash verification join's
+      // build side (per-doc token arrays) is ~10-15 MB at bench sf — just
+      // over the 10 MB default, under which AQE shuffles the near-quadratic
+      // candidate side twice. 64 MB lets AQE broadcast what actually fits;
+      // at corpus scale the build side exceeds any threshold and correctly
+      // falls back to a shuffled join (PlanAuditSpec guards no forced hint).
+      // A/B'd r9 (BENCH_NOTES): disabling STATIC broadcasts entirely
+      // (runtime-measured sizes only) fixes q03's mis-ranked build side but
+      // costs the deep-DAG dedup family ~15% in per-join stage
+      // materialization — the 64m/64m pair stays; q03 carries a targeted
+      // strategy hint instead.
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BCAST_STATIC", "-1"))
+        sys.env.getOrElse("SPARK_GRAFT_BCAST_STATIC", "64m"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST_ADAPTIVE", "64m"))
       .config("spark.sql.session.timeZone", "UTC")

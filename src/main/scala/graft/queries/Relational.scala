@@ -100,9 +100,21 @@ object Relational {
       // customer is fact-scale at TPC-H sf100+ — no broadcast hint; the
       // segment filter makes it AQE-broadcastable when it actually fits.
       // orders⋈customer runs FIRST so lineitem (the widest input) joins
-      // against the doubly-filtered orders — when that side fits, AQE
-      // broadcasts it and lineitem is never shuffled at all
-      l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+      // against the doubly-filtered orders.
+      //
+      // The SHUFFLE_HASH hint on that side exists because the static
+      // estimator inverts the build side here (measured r9, BENCH_NOTES):
+      // column pruning prices filtered LINEITEM under the broadcast
+      // threshold while orders⋈customer carries a join-product estimate,
+      // so the planner collected the millions-of-rows side through the
+      // driver and probed it with the small one. The hint pins the classic
+      // distributed Q3 shape — shuffle lineitem on its join key, build the
+      // per-partition hash from the doubly-filtered side — which is also
+      // the only shape that survives 100 TB, where neither side fits a
+      // broadcast. PlanAuditSpec pins both the pushed timestamp predicates
+      // and the absence of a lineitem-side broadcast.
+      l.join(o.join(c, col("o_custkey") === col("c_custkey"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -25,14 +25,13 @@ final class BloomState(val mBits: Int, val k: Int) {
   private[streaming] def or(wordBits: Array[(Long, Long)]): Unit =
     wordBits.foreach { case (w, b) => words(w.toInt) |= b }
 
-  /** The bitmap as the one-row `bloom: map<long,long>` frame
-    * [[Dedup.bloomProbe]] consumes (sparse: zero words omitted, matching
-    * [[Dedup.bloomBuild]]'s shape so probe semantics are identical). */
+  /** The bitmap as the one-row DENSE `bloom: array<bigint>` frame
+    * [[Dedup.bloomProbe]] consumes with O(1) lookups (the driver state is
+    * already the dense long[] — no conversion; cloned so the frame is a
+    * stable snapshot if the state is OR'd after plan construction). */
   private[streaming] def frame(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val m = words.iterator.zipWithIndex
-      .collect { case (b, w) if b != 0L => (w.toLong, b) }.toMap
-    Seq(m).toDF("bloom")
+    Seq(words.clone().toSeq).toDF("bloom")
   }
 }
 

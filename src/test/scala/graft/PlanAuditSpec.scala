@@ -53,12 +53,57 @@ class PlanAuditSpec extends SparkSpec {
   test("etl_incremental_delta: CDC timestamp predicate pushed to the scan") {
     val plan = physicalPlan("etl_incremental_delta")
     // the ts_ns/ts_raw alias collapses to the physical column `ts` once
-    // the derived timestamp is pruned away — the raw predicate pushes
-    // (rendered as raw nanos under the TIMESTAMP(NANOS) layout, as an NTZ
-    // literal under TIMESTAMP(MICROS))
-    assert(plan.contains("GreaterThan(ts,"),
-      "raw watermark predicate must reach PushedFilters:\n"
+    // the derived timestamp is pruned away — the raw predicate pushes.
+    // Assert the EXACT rendered literal per layout (a timezone or
+    // unit-conversion bug in eventsAfter must fail here, not only at the
+    // DuckDB gate): the NTZ literal under TIMESTAMP(MICROS), the raw
+    // nanos count under TIMESTAMP(NANOS).
+    val events = graft.core.Tables(spark, dir, "events")
+    val expected =
+      if (events.columns.contains("ts_raw")) "GreaterThan(ts,2024-01-25T00:00"
+      else "GreaterThan(ts," + graft.core.Tables.eventsTsNanos("2024-01-25T00:00:00Z")
+    assert(plan.contains(expected),
+      s"exact watermark literal `$expected` must reach PushedFilters:\n"
         + plan.take(2000))
+  }
+
+  test("q03: timestamp predicates pushed; lineitem never the broadcast build side") {
+    val plan = physicalPlan("q03_unshipped_revenue")
+    // both NTZ timestamp literals must reach the parquet row-group stats
+    assert(plan.contains("GreaterThan(l_shipdate,1996-03-15T00:00"),
+      "l_shipdate predicate must reach PushedFilters:\n" + plan.take(3000))
+    assert(plan.contains("LessThan(o_orderdate,1996-03-15T00:00"),
+      "o_orderdate predicate must reach PushedFilters:\n" + plan.take(3000))
+    // estimator-inversion guard (r9): column pruning prices filtered
+    // lineitem under the broadcast threshold while orders⋈customer carries
+    // a join-product estimate, so without the SHUFFLE_HASH hint the static
+    // planner collects the millions-of-rows lineitem side through the
+    // driver. The orderkey join must stay a shuffled hash join building
+    // from the doubly-filtered side.
+    assert(plan.contains("ShuffledHashJoin [l_orderkey"),
+      "orderkey join must be a shuffled hash join:\n" + plan.take(3000))
+    // structural check: no broadcast exchange anywhere in the plan may
+    // have the lineitem scan in its subtree
+    val q = SparkEntry.allQueries.find(_.name == "q03_unshipped_revenue").get
+    val df = q.run(spark, dir)
+    df.collect()
+    // traverse INTO adaptive query stages (collect() alone stops at the
+    // AdaptiveSparkPlanExec boundary)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val offenders = allNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.toString.contains("lineitem") => b
+    }
+    assert(offenders.isEmpty,
+      "lineitem must never be a broadcast build side:\n" +
+        offenders.map(_.toString.take(500)).mkString("\n"))
   }
 
   test("q07/q08: semi and anti joins stay joins (no subquery blowup)") {
@@ -71,6 +116,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("graft_cosine"), plan.take(2000))
     // the interpreted HOF fold would appear as aggregate(zip_with(...))
     assert(!plan.contains("zip_with"), "fold fallback leaked into hot path")
+  }
+
+  test("sim hot paths: no per-pair cast on embedding columns (r8 kernel regression guard)") {
+    // the multi-type cosine kernel reads array<double|float|long|int>
+    // natively (CosineSimilarity.scala); a reintroduced element-type cast
+    // would re-execute per candidate PAIR under the nested-loop join (the
+    // r7 defect: 55× DuckDB). Pin: the join-side columns feed the kernel
+    // raw in both the exact and the quantized paths.
+    Seq("sim_cosine_topk", "sim_quantized_topk").foreach { name =>
+      val plan = physicalPlan(name)
+      Seq("cast(qe", "cast(ce", "transform(qe", "transform(ce").foreach { bad =>
+        assert(!plan.contains(bad),
+          s"$name: `$bad` re-casts embeddings per pair:\n" + plan.take(3000))
+      }
+    }
   }
 
   /** Run `body` with broadcast joins disabled (simulating "build side

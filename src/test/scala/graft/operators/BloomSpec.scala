@@ -62,6 +62,32 @@ class BloomSpec extends SparkSpec {
     assert(m.keys.forall(w => w >= 0 && w < mBits / 64))
   }
 
+  test("bloomBuildCached: value-identical to bloomBuild, survives clearCache as a local frame") {
+    val corpus = keys((0L until 400L).filter(_ % 7 != 0))
+    // sparse map → expected dense words
+    val sparse = Dedup.bloomBuild(corpus, "doc_id", 2048, 5).collect()(0)
+      .getMap[Long, Long](0).toMap
+    val direct = (0L until 2048 / 64).map(w => sparse.getOrElse(w, 0L))
+    def denseOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect()(0).getSeq[Long](0)
+    val cached1 = Dedup.bloomBuildCached(corpus, "doc_id", 2048, 5)
+    assert(denseOf(cached1) === direct)
+    // the amortization contract: after a harness-style cache clear, the
+    // memoized frame is a LOCAL relation — zero corpus I/O on re-probe
+    spark.catalog.clearCache()
+    val cached2 = Dedup.bloomBuildCached(corpus, "doc_id", 2048, 5)
+    assert(cached2.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "second build must serve the memoized bitmap, not re-scan the corpus:\n"
+        + cached2.queryExecution.optimizedPlan.toString)
+    assert(denseOf(cached2) === direct)
+    // and the composite still equals the plain anti-join after the clear
+    val batch = keys(0L until 500L)
+    val viaBloom = Dedup.bloomNewKeys(corpus, batch, "doc_id", 2048, 5)
+    val plain = batch.join(corpus, Seq("doc_id"), "left_anti")
+    assert(cells(viaBloom) === cells(plain))
+  }
+
   test("probe verdicts match the set-form oracle semantics") {
     // independent reimplementation: pass ⟺ all k positions are in the
     // corpus's distinct position set (what the DuckDB oracle computes)
