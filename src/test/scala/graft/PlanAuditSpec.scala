@@ -311,6 +311,12 @@ class PlanAuditSpec extends SparkSpec {
       "window must shuffle on the partition id:\n" + plan.take(3000))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "prefix offsets must broadcast:\n" + plan.take(3000))
+    // the totals branch and the data branch must SHARE the one slim _pid
+    // exchange (r9): without the reuse each branch re-runs the input
+    // projection — for the token gates a full per-doc tokenize pass
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("table cache"),
+      "both TotalOrder branches must read one shared exchange:\n" + plan.take(3000))
   }
 
   test("dedup_incremental: cross-side candidates from equi-joins only") {
