@@ -75,6 +75,13 @@ object Tables {
       // parquet row-group statistics DIFFERS by layout — use
       // [[eventsAfter]] instead of filtering by hand.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the micros branch's ts (cast to session-zone timestamp) and ts_ns
+      // (unix_micros of that cast) are correct only at UTC; every entry
+      // point sets it, but a future one that forgets would silently shift
+      // event timestamps by the JVM zone while eventsAfter's NTZ
+      // comparison stays UTC-anchored — pin it here, where the frame is
+      // built, rather than trusting the caller
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val raw = spark.read.parquet(path(dir, name))
       import org.apache.spark.sql.functions.{col, expr}
       raw.schema("ts").dataType match {
@@ -108,7 +115,20 @@ object Tables {
     * the same instant; sub-second precision is preserved. */
   def eventsAfter(events: DataFrame, utcInstant: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    if (events.columns.contains("ts_raw")) {
+    // layout detection is TYPE-based, and the required column must be
+    // present: a projected/derived events frame that dropped ts_raw would
+    // otherwise silently fall into the ts_ns branch, where under the
+    // micros layout ts_ns is a derived expression that cannot push to the
+    // parquet scan (correct rows, silently lost pushdown) — or fails
+    // analysis outright if ts_ns was pruned too
+    val hasRawNtz = events.schema.fields.exists(f =>
+      f.name == "ts_raw" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    require(hasRawNtz || events.columns.contains("ts_ns"),
+      "eventsAfter requires the unprojected Tables() events frame " +
+        "(neither ts_raw: timestamp_ntz nor ts_ns is present; got columns " +
+        events.columns.mkString("[", ", ", "]") + ")")
+    if (hasRawNtz) {
       // micros layout: the raw column is NTZ; an NTZ literal comparison
       // collapses to the base attribute and pushes into the scan. The
       // instant's wall-clock rendering at UTC IS the NTZ value.

@@ -683,13 +683,57 @@ object Dedup {
     * driver-side control flow, distributed data flow). `localCheckpoint`
     * truncates the per-round lineage so plans don't grow unboundedly. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = symmetrizedEdges(pairs)
+    val labels = initialLabels(edges)
+    // Measured-shape dispatch (r8 head-to-head, BENCH_NOTES): min-label
+    // propagation wins on vertex-shaped graphs (edge set ≈ vertex set,
+    // shallow components — every gate graph); star contraction wins on
+    // edge-dominated skewed graphs, where its per-round edge-set
+    // contraction collapses hot nodes while min-label re-joins the FULL
+    // original edge set every round. One fused job over the checkpointed
+    // edge frame (|E| = count/2 on the symmetrized set; the vertex count
+    // may be approximate — only the order of magnitude matters). Both
+    // algorithms return identical output either way.
+    val r = edges.agg(count(lit(1)).as("e"),
+      approx_count_distinct(col("src")).as("v")).collect()(0)
+    val e = r.getLong(0) / 2.0
+    val v = math.max(r.getLong(1), 1L).toDouble
+    if (starPreferred(e, v)) connectedComponentsStar(pairs, math.max(maxIter, 30))
+    else minLabelLoop(edges, labels, maxIter)
+  }
+
+  /** The dispatch boundary, exposed for the spec: star contraction only
+    * from mean degree ≥ 128 — far above every measured gate graph. The
+    * r8/r9 head-to-heads show min-label winning on the dense near-dup
+    * cluster graphs up to the highest ratio they exhibit (33 at 10×
+    * bench sf: 4,449 edges / 134 vertices — min-label 1.6 s vs star
+    * 3.0 s), so the boundary is placed conservatively where per-round
+    * full-edge re-joins must dominate: the extreme edge-dominated regime
+    * (hot-node candidate explosions) star contraction exists for. */
+  private[graft] def starPreferred(e: Double, v: Double): Boolean = e / v >= 128.0
+
+  private def symmetrizedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
+
+  private def initialLabels(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+
+  /** Min-label propagation form of [[connectedComponents]] (the
+    * vertex-shaped default — callers that know their graph shape can pin
+    * the algorithm; the dispatcher measures it). */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = symmetrizedEdges(pairs)
+    minLabelLoop(edges, initialLabels(edges), maxIter)
+  }
+
+  private def minLabelLoop(edges: DataFrame, labels0: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = labels0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

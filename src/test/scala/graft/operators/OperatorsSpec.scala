@@ -197,6 +197,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents dispatches by measured graph shape, correct on both branches") {
+    import spark.implicits._
+    // the boundary itself: star only for extreme mean degree (measured
+    // gate graphs reach ratio 33 and min-label still wins there)
+    assert(!Dedup.starPreferred(e = 200, v = 201))     // chain: vertex-shaped
+    assert(!Dedup.starPreferred(e = 4449, v = 134))    // densest gate graph
+    assert(Dedup.starPreferred(e = 70000, v = 500))    // hot-node explosion
+    // end-to-end through the dispatcher, min-label branch: hub graph,
+    // 2048 edges / 516 vertices (ratio ~4)
+    val sparse2 = Dedup.connectedComponents(
+      (for (h <- 0L until 4L; i <- 4L until 516L) yield (h, i))
+        .toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparse2.values.forall(_ === 0L) && sparse2.size === 516)
+    // end-to-end through the dispatcher, star branch: K300 (44,850
+    // edges / 300 vertices, ratio ~150)
+    val k300 = (for (i <- 0L until 300L; j <- (i + 1) until 300L) yield (i, j))
+      .toDF("id1", "id2")
+    val dense = Dedup.connectedComponents(k300).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dense === (0L until 300L).map(_ -> 0L).toMap)
+    // chain (ratio ~1, min-label branch) — already covered above, pinned
+    // here against the same dispatcher entry point
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val sparse = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparse.values.forall(_ === 0L) && sparse.size === 31)
+  }
+
   test("star contraction fails loud when maxIter is too small") {
     import spark.implicits._
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
