@@ -745,21 +745,24 @@ object Dedup {
         .agg(min(col("nbr_comp")).as("nbr_min"))
       val hopped = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
       // (b) pointer jump (path halving): comp ← comp(comp). Labels always
       // point at smaller ids, so chasing the label's own label shortcuts
       // chains — with (a) this converges in O(log diameter) rounds, not
       // O(diameter): a million-node path needs ~20 rounds, not a million.
+      // The per-round change flag rides INSIDE the checkpointed frame so
+      // convergence is a filter over already-materialized local blocks,
+      // not a whole extra next⋈labels shuffle join per round.
       val next = hopped.as("l")
         .join(hopped.select(col("id").as("comp"), col("comp").as("comp2")).as("p"),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("id"),
+          coalesce(col("comp2"), col("comp")).as("comp"),
+          (coalesce(col("comp2"), col("comp")) =!= col("_prev")).as("_changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.select("id", "comp")
       iter += 1
     }
     if (!converged)
@@ -833,10 +836,14 @@ object Dedup {
         .union(smallMins.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint()
-      // Fixpoint = identical edge set (both are distinct (hi, lo) sets,
-      // so two anti-join emptiness probes decide set equality).
-      converged = next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty &&
-        edges.join(next, Seq("hi", "lo"), "left_anti").isEmpty
+      // Fixpoint = identical edge set. Both are DISTINCT (hi, lo) sets,
+      // so equal counts + one-sided containment decide equality: run the
+      // anti-join probe only on rounds where the cheap count comparison
+      // (a job over checkpointed local blocks, no shuffle) says the sizes
+      // match — in practice only the final round, since the edge set
+      // strictly contracts until fixpoint.
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next
       iter += 1
     }
