@@ -134,6 +134,11 @@ object Bench {
     val queries = SparkEntry.allQueries
       .filter(q => only.forall(_.contains(q.name)))
 
+    // ambient load BEFORE the warm sweep: loadavg_start is measured after
+    // warming and is self-inflated by the sweep's own 32-thread work, so
+    // without this field a reader cannot tell neighbor contention from
+    // bench self-load in the artifact
+    val loadPreWarm = loadavg()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMDIR", sfDir)
     queries.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
@@ -219,7 +224,7 @@ object Bench {
     // the JSON line's head was truncated. stdout gets a compact line
     // (family subtotals + slowest queries) that fits the tail window.
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
     // filtered dev runs must never clobber the full-surface artifact
     val fullPath = java.nio.file.Paths.get(
       if (only.isDefined) "BENCH_DEV.json" else "BENCH_FULL.json")
@@ -245,7 +250,7 @@ object Bench {
     // sbt adds no prefix and no trailing "[success]" line.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
     System.out.flush()
   }
 }
