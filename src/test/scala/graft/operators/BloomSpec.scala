@@ -88,6 +88,27 @@ class BloomSpec extends SparkSpec {
     assert(cells(viaBloom) === cells(plain))
   }
 
+  test("probe parity: dense array bitmap ≡ sparse map bitmap, verdict for verdict") {
+    // the gates probe the DENSE shape (O(1) element_at) while bloomBuild
+    // emits the sparse map — every (mBits, k, corpus) draw must give
+    // identical per-key verdicts through both representations
+    for ((mBits, k, mod) <- Seq((256, 4, 2), (4096, 5, 3), (1 << 15, 6, 7))) {
+      val corpus = keys((0L until 300L).filter(_ % mod == 0))
+      val batch = keys(0L until 400L)
+      val sparse = Dedup.bloomBuild(corpus, "doc_id", mBits, k)
+      val dense = Dedup.bloomBuildCached(corpus, "doc_id", mBits, k)
+      import org.apache.spark.sql.types.{ArrayType, MapType}
+      assert(sparse.schema("bloom").dataType.isInstanceOf[MapType])
+      assert(dense.schema("bloom").dataType.isInstanceOf[ArrayType])
+      def verdicts(bloom: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+        Dedup.bloomProbe(batch, "doc_id", bloom, mBits, k)
+          .select("doc_id", "bloom_pass").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts(dense) === verdicts(sparse),
+        s"dense/sparse divergence at mBits=$mBits k=$k mod=$mod")
+    }
+  }
+
   test("probe verdicts match the set-form oracle semantics") {
     // independent reimplementation: pass ⟺ all k positions are in the
     // corpus's distinct position set (what the DuckDB oracle computes)
