@@ -130,6 +130,7 @@ object GraftFunctions {
   val intersectSortedName = "graft_intersect_count_sorted"
   val intersectBoundedName = "graft_intersect_count_sorted_bounded"
   val quantizeName = "graft_quantize_int8"
+  val prefixCollisionName = "graft_prefix_collision"
   val signBucketsName = "graft_sign_buckets"
   val projectPlanesName = "graft_project_planes"
 
@@ -175,6 +176,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
     }
+    ifAbsent(prefixCollisionName) {
+      registry.createOrReplaceTempFunction(
+        prefixCollisionName,
+        exprs => PrefixCollision(exprs(0), exprs(1), exprs(2)), "built-in")
+    }
     ifAbsent(signBucketsName) {
       registry.createOrReplaceTempFunction(
         signBucketsName, exprs => SignBuckets(exprs(0), exprs(1)), "built-in")
@@ -216,6 +222,13 @@ object GraftFunctions {
     * filter on a count-monotone metric. */
   def intersectCountSortedBounded(a: Column, b: Column, minCount: Column): Column =
     call_function(intersectBoundedName, a, b, minCount)
+
+  /** Does any position j < len hold a[j] == b[j]? — the fused
+    * first-collision predicate of the LSH candidate join (see
+    * [[PrefixCollision]] for why the higher-order-function form is
+    * ruinous there). */
+  def prefixCollision(a: Column, b: Column, len: Column): Column =
+    call_function(prefixCollisionName, a, b, len)
 
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =

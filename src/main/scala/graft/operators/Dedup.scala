@@ -217,26 +217,35 @@ object Dedup {
       .agg(graft.functions.GraftFunctions.minhash(col("w"), numHashes).as("sig"),
         count(lit(1)).as("n_toks"))
 
-  /** One (band_idx, band_hash) struct per band: the single banding
+  /** One (band_idx, band_hash) row per band: the single banding
     * construction shared by every LSH variant — `sigCol` abstracts where
     * signature element i lives (array slot vs column), `bandHash` the
     * band-hash family (xxhash64 in production, md5 in the
-    * oracle-portable pipeline). */
+    * oracle-portable pipeline).
+    *
+    * `carryAll = true` additionally keeps the doc's FULL band-hash array
+    * (`bhs`, band order) on every exploded row — the extra width
+    * (bands−1 redundant hashes per row) buys
+    * [[lshCandidatesFirstCollision]] its shuffle-free pair dedup. The
+    * default stays narrow: it is the schema [[BandIndex]] persists, and
+    * the cross-corpus paths keep their `distinct`. */
   private def bandedExplode(signatures: DataFrame, numHashes: Int, bands: Int,
       sigCol: Int => Column,
-      bandHash: (Seq[Column], Int) => Column): DataFrame = {
+      bandHash: (Seq[Column], Int) => Column,
+      carryAll: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
+    val hashCols = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => sigCol(b * rows + r))
-      struct(lit(b).as("band_idx"), bandHash(slice, b).as("band_hash"))
+      bandHash(slice, b)
     }
     // n_toks rides along so candidate pairs emerge with both set sizes
     // attached for free (the length-filter prune needs them BEFORE the
     // wide token-array joins)
-    signatures.select(col("doc_id"), col("n_toks"),
-        explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("n_toks"),
-        col("band.band_idx"), col("band.band_hash"))
+    val exploded = signatures
+      .select(col("doc_id"), col("n_toks"), array(hashCols: _*).as("bhs"))
+      .select(col("doc_id"), col("n_toks"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+    if (carryAll) exploded else exploded.drop("bhs")
   }
 
   private def xxBandHash(slice: Seq[Column], b: Int): Column =
@@ -247,9 +256,10 @@ object Dedup {
     * [[minhashSignaturesAgg]]) — it rides along into the candidate pairs
     * so the length-filter prune can run before the wide token-array
     * joins; a caller-built frame without it fails to resolve. */
-  def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  def lshBandsFromSig(signatures: DataFrame, numHashes: Int, bands: Int,
+      carryAll: Boolean = false): DataFrame =
     bandedExplode(signatures, numHashes, bands,
-      i => element_at(col("sig"), i + 1), xxBandHash)
+      i => element_at(col("sig"), i + 1), xxBandHash, carryAll)
 
   /** LSH banding over minhash signatures: split the signature into
     * `bands` groups of rows, hash each band, and emit (doc_id, band_idx,
@@ -284,6 +294,44 @@ object Dedup {
         >= lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
       .distinct()
 
+  /** Candidate pairs via FIRST-COLLISION emission — the same pair set as
+    * [[lshCandidates]] with the `distinct` exchange deleted. A true
+    * near-dup pair collides in ~b·s^r of b bands (≈2 of 16 on the bench
+    * corpus), so the classic band join emits every pair ~2× and then
+    * pays a full shuffle+dedup over the near-quadratic candidate stream
+    * — the one super-output stage of the whole pipeline (stage-profiled,
+    * BENCH_NOTES r8). Instead, each joined row checks the pair's SHARED
+    * band-hash prefix (both docs carry their full `bhs` array, equal
+    * length by construction): emit only when NO band before this one
+    * collided, i.e. only from the pair's first colliding band. Each
+    * colliding pair then appears exactly once, straight out of the join
+    * stage — provably the distinct of the multiset, with zero extra
+    * exchange. The prefix scan is the fused
+    * [[graft.functions.PrefixCollision]] kernel: one codegen'd loop over
+    * ≤b hashes per joined row, zero allocation, evaluated before any
+    * pair leaves the stage (the equivalent zip_with/slice/exists chain
+    * is CodegenFallback and was measured 8× slower end-to-end — see the
+    * kernel's scaladoc). Requires the `bhs` column ([[bandedExplode]]
+    * `carryAll = true`); the width cost is per-band-row, bounded by b
+    * hashes, and never persisted. */
+  def lshCandidatesFirstCollision(bandsDf: DataFrame,
+      threshold: Double = 0.0): DataFrame = {
+    val noEarlierCollision = !graft.functions.GraftFunctions.prefixCollision(
+      col("a.bhs"), col("b.bhs"), col("a.band_idx"))
+    bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id")
+          && noEarlierCollision)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
+      // PPJoin length prune at generation (see lshCandidates) — the
+      // verification tail re-applies it, so output is unchanged
+      .filter(least(col("n1"), col("n2")).cast("double")
+        >= lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
     * pairs → exact Jaccard verification of candidates only.
     *
@@ -316,8 +364,10 @@ object Dedup {
     // call spark.catalog.clearCache() between queries to bound storage;
     // library callers embedding this in a service should do the same.
     val bandsDf = CacheOnce(lshBandsFromSig(
-        minhashSignaturesAgg(sets, numHashes), numHashes, bands))
-    verifyCandidates(lshCandidates(bandsDf, threshold), sets, threshold)
+        minhashSignaturesAgg(sets, numHashes), numHashes, bands,
+        carryAll = true))
+    verifyCandidates(lshCandidatesFirstCollision(bandsDf, threshold),
+      sets, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs — the shared tail of
@@ -396,8 +446,10 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double,
       shingleN: Int = 1): DataFrame = {
     val (bandsDf, sets) =
-      portableSketch(df, idCol, textCol, numHashes, bands, shingleN)
-    verifyCandidates(lshCandidates(bandsDf, threshold), sets, threshold)
+      portableSketch(df, idCol, textCol, numHashes, bands, shingleN,
+        carryAll = true)
+    verifyCandidates(lshCandidatesFirstCollision(bandsDf, threshold),
+      sets, threshold)
   }
 
   /** The portable-family sketch shared by the self-dedup and incremental
@@ -408,7 +460,7 @@ object Dedup {
     * upstream composite. */
   private[operators] def portableSketch(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, bands: Int,
-      shingleN: Int = 1): (DataFrame, DataFrame) = {
+      shingleN: Int = 1, carryAll: Boolean = false): (DataFrame, DataFrame) = {
     // materialized once: feeds the signature agg AND the verification arrays
     val sets = CacheOnce(
       if (shingleN > 1) shingleSet(df, idCol, textCol, shingleN)
@@ -424,7 +476,7 @@ object Dedup {
       .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandsDf = CacheOnce(bandedExplode(sigs, numHashes, bands,
         i => col(s"sig_$i"),
-        (slice, _) => md5(concat_ws(",", slice: _*))))
+        (slice, _) => md5(concat_ws(",", slice: _*)), carryAll))
     (bandsDf, sets)
   }
 

@@ -28,6 +28,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("first-collision candidates = distinct candidates, exactly once each") {
+    // the first-collision join must reproduce the legacy distinct's pair
+    // SET (same candidates reach verification) while emitting each pair
+    // exactly ONCE (the whole point: no dedup exchange needed)
+    val scoped = docs.filter(col("doc_id") < 100)
+    val sets = Dedup.tokenSet(scoped, "doc_id", "text")
+    val bands = Dedup.lshBandsFromSig(
+      Dedup.minhashSignaturesAgg(sets, 64), 64, 16, carryAll = true)
+    val legacy = Dedup.lshCandidates(bands.drop("bhs"))
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fcRows = Dedup.lshCandidatesFirstCollision(bands)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fcRows.toSet === legacy)
+    assert(fcRows.size === fcRows.toSet.size,
+      "first-collision emitted a pair more than once")
+  }
+
   test("shingle-mode minhash: pairs subset of exact bigram-jaccard pairs") {
     val scoped = docs.filter(col("doc_id") < 100)
     val exact = Dedup.jaccardPairs(
