@@ -736,7 +736,6 @@ object Dedup {
     * truncates the per-round lineage so plans don't grow unboundedly. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = symmetrizedEdges(pairs)
-    val labels = initialLabels(edges)
     // Measured-shape dispatch (r8 head-to-head, BENCH_NOTES): min-label
     // propagation wins on vertex-shaped graphs (edge set ≈ vertex set,
     // shallow components — every gate graph); star contraction wins on
@@ -751,7 +750,7 @@ object Dedup {
     val e = r.getLong(0) / 2.0
     val v = math.max(r.getLong(1), 1L).toDouble
     if (starPreferred(e, v)) connectedComponentsStar(pairs, math.max(maxIter, 30))
-    else minLabelLoop(edges, labels, maxIter)
+    else minLabelLoop(edges, r.getLong(0), maxIter)
   }
 
   /** The dispatch boundary, exposed for the spec: star contraction only
@@ -764,41 +763,95 @@ object Dedup {
     * (hot-node candidate explosions) star contraction exists for. */
   private[graft] def starPreferred(e: Double, v: Double): Boolean = e / v >= 128.0
 
+  /** Both directions of every pair in ONE pass over `pairs`: a union of
+    * two projections would evaluate the (arbitrarily expensive — the
+    * gates feed a full all-pairs Jaccard here) pair plan once per
+    * branch; the explode doubles rows out of a single scan instead. */
   private def symmetrizedEdges(pairs: DataFrame): DataFrame =
-    pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
 
-  private def initialLabels(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+  /** Shuffle-partition count for the component loops, sized from the
+    * measured (symmetrized) edge-row count. Each propagation round is
+    * 4-5 exchange stages over the SAME small frame, and at the session
+    * default every exchange schedules a full complement of mostly-empty
+    * tasks — on the constant-size gate graphs (~9k edge rows) the
+    * session-32 loop measured 1.52 s vs 0.78 s at 4-8 partitions, pure
+    * scheduling floor. ~1k edge rows per partition, floored at 4 (keeps
+    * multi-core even on tiny graphs), capped at the session value so a
+    * genuinely large graph keeps its parallelism — at corpus scale the
+    * cap always wins and this is a no-op. */
+  private def loopPartitions(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Long): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(session, math.max(4, (edgeRows / 1000L).toInt))
+  }
+
+  /** Runs `body` (driver-side loop control that plans AND executes jobs)
+    * with `spark.sql.shuffle.partitions` temporarily lowered to `n`,
+    * restoring the prior value in finally — the same save/restore
+    * pattern as [[BandIndex]]'s bucketed-scan rewrite. The conf is
+    * session-scoped, so OTHER queries planned concurrently on the same
+    * session during the loop would also see `n`; the bench/verify
+    * harnesses and the pipeline runner execute queries sequentially, and
+    * a service embedding this should serialize sessions per workload. */
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (n.toString == prev) body
+    else {
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
 
   /** Min-label propagation form of [[connectedComponents]] (the
     * vertex-shaped default — callers that know their graph shape can pin
     * the algorithm; the dispatcher measures it). */
   def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = symmetrizedEdges(pairs)
-    minLabelLoop(edges, initialLabels(edges), maxIter)
+    // one job over checkpointed local blocks — cheap, and it sizes the
+    // loop's exchanges
+    minLabelLoop(edges, edges.count(), maxIter)
   }
 
-  private def minLabelLoop(edges: DataFrame, labels0: DataFrame,
-      maxIter: Int): DataFrame = {
-    var labels = labels0
+  private def minLabelLoop(edges: DataFrame,
+      edgeRows: Long, maxIter: Int): DataFrame =
+      withShufflePartitions(edges.sparkSession,
+        loopPartitions(edges.sparkSession, edgeRows)) {
+    // labels == null marks round 0, whose propagation FUSES the initial
+    // identity labeling: with comp0(id) = id, "min over neighbor comps"
+    // is just min(dst), and the symmetrized edge set contains every
+    // vertex as src — so one groupBy over edges replaces BOTH the old
+    // initialLabels distinct+checkpoint and round 0's edges⋈labels join
+    // (two exchanges and a materialization job saved before the loop
+    // proper starts).
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // (a) candidate label via neighbors: min over adjacent comps
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_comp")).as("nbr_min"))
-      val hopped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("_prev"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      val hopped =
+        if (labels == null)
+          edges.groupBy(col("src").as("id"))
+            .agg(min(col("dst")).as("nbr_min"))
+            .select(col("id"), col("id").as("_prev"),
+              least(col("id"), col("nbr_min")).as("comp"))
+        else
+          labels.join(
+            edges
+              .join(labels.select(col("id").as("dst"),
+                col("comp").as("nbr_comp")), Seq("dst"))
+              .groupBy(col("src").as("id"))
+              .agg(min(col("nbr_comp")).as("nbr_min")),
+            Seq("id"), "left")
+            .select(col("id"), col("comp").as("_prev"),
+              least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
       // (b) pointer jump (path halving): comp ← comp(comp). Labels always
       // point at smaller ids, so chasing the label's own label shortcuts
       // chains — with (a) this converges in O(log diameter) rounds, not
@@ -853,19 +906,32 @@ object Dedup {
     * [[connectedComponents]]; this form is the library's alternative
     * for when candidate generation emits an edge-dominated graph. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val vertices = pairs.select(col("id1").as("id"))
-      .union(pairs.select(col("id2").as("id")))
+    // one scan of the (arbitrarily expensive) pair plan: normalize to
+    // (hi, lo) and checkpoint, then derive BOTH the vertex set and the
+    // working edge set from the checkpointed local blocks — the previous
+    // two-consumer form evaluated `pairs` once for each
+    val norm = pairs
+      .select(greatest(col("id1"), col("id2")).as("hi"),
+        least(col("id1"), col("id2")).as("lo"))
+      .localCheckpoint()
+    val vertices = norm.select(col("hi").as("id"))
+      .union(norm.select(col("lo").as("id")))
       .distinct()
       .localCheckpoint()
     // Undirected edge set as (hi, lo) with hi > lo; self-loops dropped.
-    var edges = pairs
-      .select(greatest(col("id1"), col("id2")).as("hi"),
-        least(col("id1"), col("id2")).as("lo"))
+    var edges = norm
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // the edge count both sizes the loop exchanges (like the min-label
+    // form — the edge set only contracts, so the initial count bounds
+    // every round) and seeds the fixpoint comparison; carried across
+    // rounds so each round runs ONE count job, not two
+    var edgeCount = edges.count()
+    withShufflePartitions(pairs.sparkSession,
+      loopPartitions(pairs.sparkSession, edgeCount * 2)) {
     while (!converged && iter < maxIter) {
       // large-star over the symmetric view: m = min(N(u) ∪ {u}); hook
       // every strictly-larger neighbor to m. Emitted edges all satisfy
@@ -894,11 +960,14 @@ object Dedup {
       // (a job over checkpointed local blocks, no shuffle) says the sizes
       // match — in practice only the final round, since the edge set
       // strictly contracts until fixpoint.
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
+    } // withShufflePartitions
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds; " +
@@ -915,18 +984,28 @@ object Dedup {
     * diagnostic ("how much of the corpus is duplicated, and how big are
     * the clusters?"). Docs in no pair count as size-1 clusters. Returns
     * (cluster_size, n_clusters). Scale shape: connected components
-    * (O(log d) rounds) + two linear aggregations + one anti join. */
+    * (O(log d) rounds) + two linear aggregations.
+    *
+    * CONTRACT: `pairs` is over `df`'s id column (every pair id appears
+    * in `df`) — the only sane near-dup-graph use. Under it the size-1
+    * count is pure arithmetic, |df| − |labeled docs|: one global
+    * aggregate over a tagged union (both counts in a single pass, no
+    * join — a 1×1 cross join would plan as the nested-loop shape the
+    * plan audit bans) replaces the previous doc_id-shuffled anti-join,
+    * and since every labeled component has ≥ 2 members (each labeled
+    * doc has a neighbor), the size-1 bucket can never collide with a
+    * computed bucket — no merge aggregation needed after the union. */
   def clusterSizeHistogram(df: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val hist = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-    val singles = df.select(col(idCol).as("doc_id"))
-      .join(comps, Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    val singles = df.select(lit(1L).as("is_doc"))
+      .unionAll(comps.select(lit(0L).as("is_doc")))
+      .agg(sum(col("is_doc")).as("nd"),
+        (count(lit(1)) - sum(col("is_doc"))).as("nc"))
+      .select(lit(1L).as("cluster_size"), (col("nd") - col("nc")).as("n_clusters"))
     hist.unionAll(singles)
-      .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
       .filter(col("n_clusters") > 0)
   }
 
