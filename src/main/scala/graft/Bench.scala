@@ -156,6 +156,19 @@ object Bench {
     val health = new HealthListener
     spark.sparkContext.addSparkListener(health)
 
+    // Cold-semantics hygiene: the driver-side memos (Dedup's bloom bitmap,
+    // TotalOrder's quantile boundaries) deliberately survive clearCache —
+    // that amortization is their production contract. For MEASUREMENT it
+    // would be an asymmetry: the warm sweep pre-populates them, so timed
+    // probes would skip the corpus scan their gate SQL implies while the
+    // DuckDB baseline executes the full NOT EXISTS/scan every run. Reset
+    // both memos before every timed query (and before cold reruns) so each
+    // measured number includes the build its oracle semantics include.
+    def resetMemos(): Unit = {
+      graft.operators.Dedup.invalidateBloomMemo(spark)
+      graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
+    }
+
     val loadStart = loadavg()
     // name, first, rerun, loadavg at rerun start
     var reruns = List.empty[(String, Double, Double, Double)]
@@ -166,6 +179,7 @@ object Bench {
       val loadAtStart = loadavg()
       loads ::= (q.name -> loadAtStart)
       val (spill0, fail0) = (health.spilled.get(), health.failed.get())
+      resetMemos()
       def once(): Double = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -184,6 +198,7 @@ object Bench {
         // ambiguity the rerun exists to resolve. Fresh loadavg recorded
         // so the pair is interpretable on a time-shared host.
         spark.catalog.clearCache()
+        resetMemos()
         val rerunLoad = loadavg()
         reruns ::= ((q.name, first, once(), rerunLoad))
       }

@@ -79,9 +79,14 @@ object Tables {
       // (unix_micros of that cast) are correct only at UTC; every entry
       // point sets it, but a future one that forgets would silently shift
       // event timestamps by the JVM zone while eventsAfter's NTZ
-      // comparison stays UTC-anchored — pin it here, where the frame is
-      // built, rather than trusting the caller
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // comparison stays UTC-anchored. FAIL LOUDLY rather than silently
+      // overwriting a user-visible session conf (a conf.set here would
+      // change timestamp rendering for the caller's unrelated queries as
+      // a side effect of a read)
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "the events table requires spark.sql.session.timeZone=UTC " +
+          "(its ts column is a UTC wall-clock NTZ/nanos value; set the " +
+          "conf on the session before loading events)")
       val raw = spark.read.parquet(path(dir, name))
       import org.apache.spark.sql.functions.{col, expr}
       raw.schema("ts").dataType match {

@@ -1144,19 +1144,44 @@ object Dedup {
     * re-scan. The bitmap is bounded by construction (≤ m/64 longs,
     * 128 KB at m = 2^20 — the same bound BloomStream's driver-resident
     * restore relies on), so the MATERIALIZED map lives here, keyed by
-    * (corpus plan semantic hash, keyCol, m, k); sessions are weak keys so
-    * stopped sessions collect. Caveat (same as Tables' relation cache):
-    * the memo serves the corpus AS FIRST BUILT for the session's
-    * lifetime — rewriting the corpus dir mid-session requires a new
-    * session or a changed plan. */
+    * (corpus plan semantic hash, corpus FILE fingerprint, keyCol, m, k);
+    * sessions are weak keys so stopped sessions collect.
+    *
+    * The file fingerprint ([[graft.core.SourceFingerprint]]) is what
+    * makes the memo safe for CORRECTNESS, not just performance: the
+    * semantic hash alone identifies the path, not the data, so a session
+    * that rewrote the corpus directory would otherwise probe the old
+    * bitmap — and a stale bitmap can produce false NEGATIVES, which
+    * [[bloomNewKeys]] routes past the exact verification join. Writers
+    * emit fresh UUID part-file names per commit, so any rewrite misses
+    * the memo and rebuilds (BloomSpec pins this: rewrite → re-read →
+    * fresh verdicts). */
   private val bloomBitmapCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[(Int, String, Int, Int), Map[Long, Long]]]()
+      scala.collection.concurrent.TrieMap[(Int, Long, String, Int, Int), Map[Long, Long]]]()
+
+  /** Explicit invalidation hook for the session's memoized bloom bitmaps.
+    * The fingerprinted key already invalidates on any corpus-file rewrite;
+    * this hook exists for (a) callers that mutate a NON-file corpus source
+    * the fingerprint cannot see (e.g. JDBC), and (b) harnesses that want
+    * per-measurement cold semantics (Bench resets it per query so timed
+    * probes pay the corpus scan the gate SQL implies). */
+  def invalidateBloomMemo(spark: org.apache.spark.sql.SparkSession): Unit =
+    bloomBitmapCache.synchronized {
+      val m = bloomBitmapCache.get(spark)
+      if (m != null) m.clear()
+    }
 
   /** [[bloomBuild]] with the materialized bitmap memoized on the session
     * (see [[bloomBitmapCache]]): the first call pays the corpus scan,
     * every later call — across cache clears — returns a one-row local
-    * frame with zero corpus I/O. Emits the DENSE `array<bigint>` shape
+    * frame with zero corpus I/O. NOTE: calling this EAGERLY runs the
+    * corpus scan on a memo miss, at plan-BUILD time — a deliberate
+    * laziness trade (the bitmap values must be pinned driver-side so
+    * every consumer reads one sketch draw). The memo key includes a file
+    * fingerprint of the corpus plan, so a rewritten corpus directory
+    * re-read in the same session rebuilds rather than serving a stale
+    * bitmap. Emits the DENSE `array<bigint>` shape
     * (O(1) probes — see [[bloomProbe]]'s shape note); the memo itself
     * stays sparse (words actually set). Probe economics for nightly
     * batches. */
@@ -1167,13 +1192,14 @@ object Dedup {
       if (existing != null) existing
       else {
         val m = scala.collection.concurrent.TrieMap
-          .empty[(Int, String, Int, Int), Map[Long, Long]]
+          .empty[(Int, Long, String, Int, Int), Map[Long, Long]]
         bloomBitmapCache.put(spark, m)
         m
       }
     }
     val words = perSession.getOrElseUpdate(
-      (corpus.semanticHash(), keyCol, mBits, k), {
+      (corpus.semanticHash(), graft.core.SourceFingerprint.of(corpus),
+        keyCol, mBits, k), {
         val row = bloomBuild(corpus, keyCol, mBits, k).collect()(0)
         if (row.isNullAt(0)) Map.empty[Long, Long]
         else row.getMap[Long, Long](0).toMap
@@ -1223,7 +1249,15 @@ object Dedup {
     * join whose shuffle volume is the pass-set, not the batch. Output
     * equals the plain batch-anti-corpus join row for row (gate
     * dedup_bloom_new hash-checks that against the plain-anti-join
-    * oracle), so callers trade nothing for the shuffle cut. */
+    * oracle), so callers trade nothing for the shuffle cut.
+    *
+    * Correctness depends on the memoized bitmap being CURRENT — a stale
+    * bitmap's false negatives would skip verification. The memo key
+    * therefore fingerprints the corpus's file listing
+    * ([[graft.core.SourceFingerprint]]); rewriting the corpus and
+    * re-reading it in the same session rebuilds the bitmap
+    * (spec-pinned). First call per (corpus, key, m, k) eagerly scans the
+    * corpus at plan-build time. */
   def bloomNewKeys(corpus: DataFrame, batch: DataFrame, keyCol: String,
       mBits: Int, k: Int): DataFrame = {
     // one materialization, session-lifetime: the bitmap feeds both probe

@@ -109,6 +109,31 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("memo invalidation: rewriting the corpus dir yields fresh verdicts in-session") {
+    // The memo key fingerprints the corpus FILES, not just the plan: two
+    // reads of the same path hash identically as plans, so without the
+    // fingerprint the second bloomNewKeys below would probe the FIRST
+    // corpus's bitmap — and its false negatives skip the verify join,
+    // silently emitting rows that are NOT new under the rewritten corpus.
+    val dir = tmpDir("bloom-rewrite")
+    keys((0L until 400L).filter(_ % 2 == 0)).write.mode("overwrite").parquet(dir)
+    val corpus1 = spark.read.parquet(dir)
+    val batch = keys(0L until 500L)
+    val first = Dedup.bloomNewKeys(corpus1, batch, "doc_id", 2048, 5)
+    assert(cells(first) === cells(batch.join(corpus1, Seq("doc_id"), "left_anti")))
+
+    // rewrite the SAME path with the complementary key set and re-read
+    keys((0L until 400L).filter(_ % 2 == 1)).write.mode("overwrite").parquet(dir)
+    val corpus2 = spark.read.parquet(dir)
+    assert(corpus1.semanticHash() === corpus2.semanticHash(),
+      "precondition: the plan hash alone cannot distinguish the rewrite")
+    val second = Dedup.bloomNewKeys(corpus2, batch, "doc_id", 2048, 5)
+    val expected = batch.join(
+      keys((0L until 400L).filter(_ % 2 == 1)), Seq("doc_id"), "left_anti")
+    assert(cells(second) === cells(expected),
+      "rewritten corpus must rebuild the memoized bitmap, not serve the stale one")
+  }
+
   test("probe verdicts match the set-form oracle semantics") {
     // independent reimplementation: pass ⟺ all k positions are in the
     // corpus's distinct position set (what the DuckDB oracle computes)
