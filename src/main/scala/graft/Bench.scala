@@ -115,10 +115,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BCAST_STATIC", "64m"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST_ADAPTIVE", "64m"))
+      // A/B knobs for the statistics story: ANALYZE-backed catalog tables
+      // (Tables.analyzeDir) + the cost-based estimator pricing filters and
+      // join build sides from row counts/NDVs instead of file sizes
+      .config("spark.sql.cbo.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CBO", "false"))
+      .config("spark.sql.cbo.joinReorder.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CBO_REORDER", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in stats: one ANALYZE pass per table before any query runs —
+    // session setup (the warehouse-ingest analogue), outside every timed
+    // region, same amortization class as the Janino/JIT warm sweep
+    if (sys.env.get("SPARK_GRAFT_ANALYZE").contains("true"))
+      graft.core.Tables.analyzeDir(spark, sfDir)
 
     // Warm every query once AT THE MEASURED SF, then measure: compiles all
     // generated code (Janino cache) and JIT-warms the hot loops, so

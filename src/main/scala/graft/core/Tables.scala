@@ -54,8 +54,99 @@ object Tables {
   def invalidateCache(spark: SparkSession): Unit =
     relationCache.synchronized { relationCache.remove(spark) }
 
+  /** dirs whose tables are served from the session catalog WITH computed
+    * statistics (see [[analyzeDir]]): dir → database name. */
+  private val analyzedDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private def analyzedDb(spark: SparkSession, dir: String): Option[String] = {
+    val m = analyzedDirs.synchronized(analyzedDirs.get(spark))
+    if (m == null) None else m.get(dir)
+  }
+
+  /** The statistics story: register every table of `dir` as an external
+    * catalog table and run `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL
+    * COLUMNS`; thereafter [[apply]] serves `spark.table` for that dir, so
+    * every plan carries row counts and per-column NDV/min/max and the
+    * cost-based estimator can price filters and join build sides from
+    * DATA, not file sizes. This is the general form of what a per-query
+    * join-strategy hint fixes pointwise: without stats the static
+    * estimator prices a column-pruned fact scan under the broadcast
+    * threshold while a join product carries no estimate at all (the
+    * measured q03 inversion, BENCH_NOTES r9).
+    *
+    * One scan + one aggregate per table, paid ONCE per (session, dir) —
+    * the warehouse-ingest analogue, same amortization class as parquet
+    * footer metadata in engines that read stats for free. Idempotent;
+    * re-analyzing after a data rewrite refreshes the stats. Plain-path
+    * mode stays the default — callers opt in (Bench: SPARK_GRAFT_ANALYZE).
+    */
+  def analyzeDir(spark: SparkSession, dir: String,
+      forAllColumns: Boolean = true): Unit = {
+    // stable per-dir database name (paths are not valid identifiers)
+    val db = "graft_stats_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    all.foreach { n =>
+      // events ships TIMESTAMP(NANOS) in one layout; the legacy conf must
+      // be live before schema inference, exactly as in [[build]]
+      if (n == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$n USING parquet " +
+        s"LOCATION '${path(dir, n)}'")
+      // column stats only for the types ANALYZE supports (numeric, string,
+      // binary, boolean, date/timestamp) — embeddings/token arrays have no
+      // NDV/min/max representation and would fail the whole command
+      import org.apache.spark.sql.types._
+      // TimestampNTZType is deliberately EXCLUDED even though ANALYZE
+      // accepts it: Spark 4.1's FilterEstimation.evaluateBinary has no
+      // case for NTZ, so a binary predicate over an NTZ column WITH
+      // column stats crashes optimization under cbo.enabled
+      // (scala.MatchError: TimestampNTZType — measured here on
+      // l_shipdate). Without the colStat the estimator falls back to
+      // conservative selectivity instead of crashing; row counts still
+      // price the join sides correctly.
+      def analyzable(dt: DataType): Boolean = dt match {
+        case _: NumericType => true
+        case StringType | BinaryType | BooleanType | DateType |
+             TimestampType => true
+        case _ => false
+      }
+      val statCols =
+        if (!forAllColumns) Seq.empty
+        else spark.table(s"$db.$n").schema.fields
+          .filter(f => analyzable(f.dataType)).map(f => s"`${f.name}`").toSeq
+      spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS" +
+        (if (statCols.nonEmpty) statCols.mkString(" FOR COLUMNS ", ", ", "")
+         else ""))
+    }
+    val m = analyzedDirs.synchronized {
+      val existing = analyzedDirs.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[String, String]
+        analyzedDirs.put(spark, fresh)
+        fresh
+      }
+    }
+    m.put(dir, db)
+    // relations built before the switch carry no stats — rebuild lazily
+    invalidateCache(spark)
+  }
+
+  /** Revert [[analyzeDir]]: serve plain path reads again (the catalog
+    * tables and their stats remain registered but unused). */
+  def resetAnalyzed(spark: SparkSession): Unit = {
+    analyzedDirs.synchronized { analyzedDirs.remove(spark) }
+    invalidateCache(spark)
+  }
+
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
+    def base(): DataFrame = analyzedDb(spark, dir) match {
+      case Some(db) => spark.table(s"$db.$name")
+      case None     => spark.read.parquet(path(dir, name))
+    }
     if (name == "events") {
       // events.ts has shipped in two physical layouts across testdata
       // generations, so the load is schema-adaptive:
@@ -87,7 +178,7 @@ object Tables {
         "the events table requires spark.sql.session.timeZone=UTC " +
           "(its ts column is a UTC wall-clock NTZ/nanos value; set the " +
           "conf on the session before loading events)")
-      val raw = spark.read.parquet(path(dir, name))
+      val raw = base()
       import org.apache.spark.sql.functions.{col, expr}
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -101,7 +192,7 @@ object Tables {
             .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
             .withColumn("ts", col("ts").cast("timestamp"))
       }
-    } else spark.read.parquet(path(dir, name))
+    } else base()
   }
 
   /** UTC instant → raw nanos literal for pushdown-friendly filters on

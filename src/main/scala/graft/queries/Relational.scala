@@ -113,6 +113,14 @@ object Relational {
       // the only shape that survives 100 TB, where neither side fits a
       // broadcast. PlanAuditSpec pins both the pushed timestamp predicates
       // and the absence of a lineitem-side broadcast.
+      //
+      // The GENERAL fix exists (Tables.analyzeDir + cbo.enabled prices the
+      // build sides from row counts and picks the right side with no hint —
+      // StatsPeek), but full-surface CBO was A/B'd at sf0.1 and REJECTED:
+      // +56% total, the dedup family's synthetic intermediates get
+      // mispriced (BENCH_NOTES r10). The hint stays: targeted, free, and
+      // it protects stat-less sessions where the static estimator still
+      // inverts.
       l.join(o.join(c, col("o_custkey") === col("c_custkey"))
             .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
