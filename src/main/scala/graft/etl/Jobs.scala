@@ -33,21 +33,45 @@ object Watermark {
   * therefore advances off the latest delta only, which is sound because
   * each delta's max dominates the previous watermark.
   */
-final class IngestJob(source: OltpSource, landed: TableStore) {
+final class IngestJob(source: OltpSource, landed: TableStore,
+    parallelism: Int = 1) {
 
-  /** Runs one ingest round; returns the tables that produced a delta. */
+  private def ingestOne(table: String): Option[String] = {
+    val delta: DataFrame =
+      if (!landed.exists(table)) source.full(table)
+      else Watermark.of(landed.read(table)) match {
+        case Some(m) => source.incremental(table, m.created, m.updated)
+        case None    => source.full(table)
+      }
+    // isEmpty is a cheap limit-1 job; mirrors `len(results) > 0`
+    // (reference: src/extract.py:230-236).
+    if (delta.isEmpty) None
+    else { landed.write(table, delta); Some(table) }
+  }
+
+  /** Runs one ingest round; returns the tables that produced a delta,
+    * in `listTables()` order regardless of `parallelism`.
+    *
+    * Each table is independent (its own watermark read, delta scan, and
+    * write target), but serial execution pays THREE driver round-trips
+    * per table (exists, watermark agg, isEmpty) before the write —
+    * reference-parity and fine at 11 tables, a driver-bound bottleneck
+    * at a 1,000-table source. With `parallelism > 1` the per-table
+    * pipelines are submitted from a driver thread pool; Spark's
+    * scheduler interleaves the concurrent jobs across executors (job
+    * submission is thread-safe on one session; distinct tables never
+    * share a write path). Failures propagate as in the serial form. */
   def run(): Seq[String] =
-    source.listTables().flatMap { table =>
-      val delta: DataFrame =
-        if (!landed.exists(table)) source.full(table)
-        else Watermark.of(landed.read(table)) match {
-          case Some(m) => source.incremental(table, m.created, m.updated)
-          case None    => source.full(table)
-        }
-      // isEmpty is a cheap limit-1 job; mirrors `len(results) > 0`
-      // (reference: src/extract.py:230-236).
-      if (delta.isEmpty) None
-      else { landed.write(table, delta); Some(table) }
+    if (parallelism <= 1) source.listTables().flatMap(ingestOne)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = source.listTables().map(t => Future(ingestOne(t)))
+        Await.result(Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf).flatten
+      } finally pool.shutdown()
     }
 }
 

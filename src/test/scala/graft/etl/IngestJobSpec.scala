@@ -87,4 +87,34 @@ class IngestJobSpec extends SparkSpec {
     assert(delta.count() === 1)
     assert(delta.collect()(0).getDecimal(3).toPlainString === "99.99")
   }
+
+  test("parallelism > 1 lands the same results as the serial form") {
+    val src = tmpDir("src")
+    writeSource(src, Fixtures.all(spark))
+    val serialDir = tmpDir("landed-serial"); val parDir = tmpDir("landed-par")
+    val serialStore = new ParquetStore(spark, serialDir)
+    val parStore = new ParquetStore(spark, parDir)
+    val serial = new IngestJob(new ParquetSource(spark, src), serialStore)
+    val par = new IngestJob(new ParquetSource(spark, src), parStore,
+      parallelism = 4)
+
+    // full round: same tables reported, in the same (listTables) order
+    val s1 = serial.run(); val p1 = par.run()
+    assert(p1 === s1)
+    // every landed table is row-for-row identical
+    Fixtures.all(spark).keySet.foreach { t =>
+      assert(cells(parStore.read(t)) === cells(serialStore.read(t)),
+        s"table $t diverged under parallel ingest")
+    }
+
+    // incremental round: both see the advanced watermark, both land the
+    // same 1-table delta
+    val feb = Timestamp.valueOf("2023-02-02 11:30:00")
+    val withInsert = Fixtures.currency(spark).union(
+      spark.createDataFrame(Seq(
+        Row(91, "GBP", feb, feb)).asJava, Schemas.currency))
+    writeSource(src, Map("currency" -> withInsert))
+    assert(par.run() === serial.run())
+    assert(cells(parStore.read("currency")) === cells(serialStore.read("currency")))
+  }
 }
