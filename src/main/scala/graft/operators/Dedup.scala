@@ -734,23 +734,78 @@ object Dedup {
     * the loop exits early on convergence (one count() action per round —
     * driver-side control flow, distributed data flow). `localCheckpoint`
     * truncates the per-round lineage so plans don't grow unboundedly. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMax: Long = driverClosureMaxEdges): DataFrame = {
     val edges = symmetrizedEdges(pairs)
-    // Measured-shape dispatch (r8 head-to-head, BENCH_NOTES): min-label
-    // propagation wins on vertex-shaped graphs (edge set ≈ vertex set,
-    // shallow components — every gate graph); star contraction wins on
-    // edge-dominated skewed graphs, where its per-round edge-set
-    // contraction collapses hot nodes while min-label re-joins the FULL
-    // original edge set every round. One fused job over the checkpointed
-    // edge frame (|E| = count/2 on the symmetrized set; the vertex count
-    // may be approximate — only the order of magnitude matters). Both
-    // algorithms return identical output either way.
+    // Measured-shape dispatch, three-way (r8-r10 head-to-heads,
+    // BENCH_NOTES). One fused job over the checkpointed edge frame
+    // measures (|edge rows|, ~|V|), then:
+    //  - bounded graphs (≤ driverMax edge rows) close as driver
+    //    union-find — a metadata-sized graph pays only collect+local
+    //    work instead of O(log d) rounds of exchange floor;
+    //  - vertex-shaped distributed graphs take min-label propagation;
+    //  - edge-dominated skewed graphs take star contraction, whose
+    //    per-round edge contraction collapses hot nodes while min-label
+    //    re-joins the FULL original edge set every round.
+    // All three return identical output (spec-pinned).
     val r = edges.agg(count(lit(1)).as("e"),
       approx_count_distinct(col("src")).as("v")).collect()(0)
     val e = r.getLong(0) / 2.0
     val v = math.max(r.getLong(1), 1L).toDouble
-    if (starPreferred(e, v)) connectedComponentsStar(pairs, math.max(maxIter, 30))
+    if (r.getLong(0) <= driverMax) driverComponents(edges)
+    else if (starPreferred(e, v)) connectedComponentsStar(pairs, math.max(maxIter, 30))
     else minLabelLoop(edges, r.getLong(0), maxIter)
+  }
+
+  /** Below this many (symmetrized, distinct) edge ROWS the transitive
+    * closure runs as driver-side union-find instead of a distributed
+    * loop. The measured dispatch job above bounds the collect BEFORE it
+    * happens, so the materialization is bounded by this constant, not by
+    * data — the same bounded-by-construction class as the bloom bitmap
+    * (≤ m/64 longs) and the TotalOrder boundary array (nb−1 doubles).
+    * 2^21 rows ≈ 32 MB of (long, long): trivially driver-safe, and far
+    * above every gate graph (~9k rows). Why it exists: each distributed
+    * propagation round costs 4-5 exchanges of scheduling constants, and
+    * a metadata-sized graph pays O(log d) rounds of pure floor — the
+    * union-find closes the same graph in microseconds after one collect
+    * job over already-checkpointed local blocks. At corpus scale the
+    * edge set blows past the bound and the distributed loops take over
+    * (measured both ways, BENCH_NOTES r10). */
+  private[graft] val driverClosureMaxEdges: Long = 1L << 21
+
+  /** Driver union-find over a bounded symmetrized edge frame: path
+    * halving + union by attachment under the SMALLER root id, so every
+    * root IS its component minimum — identical output to the
+    * distributed forms (min id per component, one row per vertex). */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val arr = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long](arr.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(r, gp)
+        r = gp
+        p = parent.getOrDefault(r, r)
+      }
+      r
+    }
+    arr.foreach { row =>
+      val a = find(row.getLong(0)); val b = find(row.getLong(1))
+      if (a != b) {
+        // attach the larger root under the smaller: roots stay minima
+        if (a < b) parent.put(b, a) else parent.put(a, b)
+      }
+    }
+    val verts = new java.util.HashSet[Long](arr.length * 2)
+    arr.foreach { row => verts.add(row.getLong(0)); verts.add(row.getLong(1)) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](verts.size)
+    verts.forEach(id => out += ((id, find(id))))
+    import spark.implicits._
+    out.toSeq.toDF("doc_id", "comp")
   }
 
   /** The dispatch boundary, exposed for the spec: star contraction only

@@ -208,41 +208,58 @@ class OperatorsSpec extends SparkSpec {
       Dedup.jaccardPairs(
         Dedup.tokenSet(docs.filter(col("doc_id") < 100), "doc_id", "text"), 0.8))
     shapes.foreach { pairs =>
-      val lp = Dedup.connectedComponents(pairs).collect()
+      val lp = Dedup.connectedComponents(pairs, driverMax = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val star = Dedup.connectedComponentsStar(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uf = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === lp)
+      assert(uf === lp, "driver union-find must equal the distributed forms")
     }
   }
 
-  test("connectedComponents dispatches by measured graph shape, correct on both branches") {
+  test("connectedComponents dispatches by measured graph shape, correct on all branches") {
     import spark.implicits._
-    // the boundary itself: star only for extreme mean degree (measured
-    // gate graphs reach ratio 33 and min-label still wins there)
+    // the star/min-label boundary: star only for extreme mean degree
+    // (measured gate graphs reach ratio 33 and min-label still wins)
     assert(!Dedup.starPreferred(e = 200, v = 201))     // chain: vertex-shaped
     assert(!Dedup.starPreferred(e = 4449, v = 134))    // densest gate graph
     assert(Dedup.starPreferred(e = 70000, v = 500))    // hot-node explosion
-    // end-to-end through the dispatcher, min-label branch: hub graph,
-    // 2048 edges / 516 vertices (ratio ~4)
+    // DEFAULT dispatch on a bounded graph = the driver union-find branch:
+    // observable as a LocalRelation-only plan (no distributed loop ran)
+    val tiny = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2"))
+    assert(tiny.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "bounded graphs must close driver-side:\n" +
+        tiny.queryExecution.optimizedPlan.toString)
+    assert(tiny.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // driverMax = 0 pins the DISTRIBUTED dispatch; min-label branch:
+    // hub graph, 2048 edges / 516 vertices (ratio ~4)
     val sparse2 = Dedup.connectedComponents(
       (for (h <- 0L until 4L; i <- 4L until 516L) yield (h, i))
-        .toDF("id1", "id2"))
+        .toDF("id1", "id2"), driverMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sparse2.values.forall(_ === 0L) && sparse2.size === 516)
-    // end-to-end through the dispatcher, star branch: K300 (44,850
-    // edges / 300 vertices, ratio ~150)
+    // distributed dispatch, star branch: K300 (44,850 edges / 300
+    // vertices, ratio ~150)
     val k300 = (for (i <- 0L until 300L; j <- (i + 1) until 300L) yield (i, j))
       .toDF("id1", "id2")
-    val dense = Dedup.connectedComponents(k300).collect()
+    val dense = Dedup.connectedComponents(k300, driverMax = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dense === (0L until 300L).map(_ -> 0L).toMap)
-    // chain (ratio ~1, min-label branch) — already covered above, pinned
-    // here against the same dispatcher entry point
+    // chain (ratio ~1, min-label branch) against the same pinned
+    // distributed entry point; also via the default (driver) branch for
+    // the three-way equality
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val sparse = Dedup.connectedComponents(chain).collect()
+    val sparse = Dedup.connectedComponents(chain, driverMax = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sparse.values.forall(_ === 0L) && sparse.size === 31)
+    val sparseDriver = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparseDriver === sparse)
   }
 
   test("star contraction fails loud when maxIter is too small") {
