@@ -78,6 +78,12 @@ object Bench {
     } catch { case _: Throwable => (Map.empty, "unreadable") }
 
   def main(args: Array[String]): Unit = {
+    // ambient load at PROCESS ENTRY — before the SparkSession (whose
+    // 16g AlwaysPreTouch heap walk alone pushes the 1-min loadavg to
+    // 8-13 for a minute) so the field measures the HOST, not this JVM's
+    // own startup. Measured: entry 0.3 vs post-session 13.1 on an idle
+    // box.
+    val loadPreWarm = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -146,11 +152,6 @@ object Bench {
     val queries = SparkEntry.allQueries
       .filter(q => only.forall(_.contains(q.name)))
 
-    // ambient load BEFORE the warm sweep: loadavg_start is measured after
-    // warming and is self-inflated by the sweep's own 32-thread work, so
-    // without this field a reader cannot tell neighbor contention from
-    // bench self-load in the artifact
-    val loadPreWarm = loadavg()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMDIR", sfDir)
     queries.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
