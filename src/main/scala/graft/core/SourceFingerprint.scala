@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, GraftSqlInternals}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
 
 /** 64-bit fingerprint of the FILES behind a DataFrame's plan.
   *
@@ -54,6 +55,16 @@ object SourceFingerprint {
         lr.relation match {
           case fs: HadoopFsRelation => mixFiles(fs.location)
           case _                    => ()
+        }
+      // DSv2 file scans (parquet read through the v2 path when
+      // spark.sql.sources.useV1SourceList excludes it): same file
+      // listing, different plan node — without this case a v2-read
+      // corpus would fingerprint as the bare seed and the stale-bitmap
+      // window this helper closes would silently reopen
+      case v2: DataSourceV2Relation =>
+        v2.table match {
+          case ft: FileTable => mixFiles(ft.fileIndex)
+          case _             => ()
         }
       case _ => ()
     }

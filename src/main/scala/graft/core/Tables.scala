@@ -84,8 +84,12 @@ object Tables {
     */
   def analyzeDir(spark: SparkSession, dir: String,
       forAllColumns: Boolean = true): Unit = {
-    // stable per-dir database name (paths are not valid identifiers)
-    val db = "graft_stats_" + java.lang.Integer.toHexString(dir.hashCode)
+    // stable per-dir database name (paths are not valid identifiers) —
+    // a 64-bit digest prefix, NOT String.hashCode: a 32-bit collision
+    // between two dirs would silently alias one dir's CREATE TABLE ...
+    // LOCATION to the other's data
+    val db = "graft_stats_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     all.foreach { n =>
       // events ships TIMESTAMP(NANOS) in one layout; the legacy conf must
@@ -174,10 +178,19 @@ object Tables {
       // overwriting a user-visible session conf (a conf.set here would
       // change timestamp rendering for the caller's unrelated queries as
       // a side effect of a read)
-      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-        "the events table requires spark.sql.session.timeZone=UTC " +
-          "(its ts column is a UTC wall-clock NTZ/nanos value; set the " +
-          "conf on the session before loading events)")
+      // normalized-zone comparison, not string equality: "Etc/UTC",
+      // "+00:00", or a UTC-zoned JVM default are all semantically UTC
+      // and must not be rejected
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      val isUtc =
+        try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+          .normalized() == java.time.ZoneOffset.UTC
+        catch { case _: java.time.DateTimeException => false }
+      require(isUtc,
+        s"the events table requires a UTC session time zone, got '$tz' " +
+          "(its ts column is a UTC wall-clock NTZ/nanos value; set " +
+          "spark.sql.session.timeZone=UTC on the session before loading " +
+          "events)")
       val raw = base()
       import org.apache.spark.sql.functions.{col, expr}
       raw.schema("ts").dataType match {

@@ -60,17 +60,27 @@ final class IngestJob(source: OltpSource, landed: TableStore,
     * pipelines are submitted from a driver thread pool; Spark's
     * scheduler interleaves the concurrent jobs across executors (job
     * submission is thread-safe on one session; distinct tables never
-    * share a write path). Failures propagate as in the serial form. */
+    * share a write path).
+    *
+    * Failure semantics: every submitted table runs to completion (or
+    * failure) BEFORE run() returns or throws — a fail-fast await would
+    * leave sibling writes running in the background while the caller
+    * already handles the error, and an immediate retry would then race
+    * a zombie write on the same landed path. On any failure the first
+    * error (in table order) propagates, as in the serial form. */
   def run(): Seq[String] =
     if (parallelism <= 1) source.listTables().flatMap(ingestOne)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.util.{Failure, Try}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        val fs = source.listTables().map(t => Future(ingestOne(t)))
-        Await.result(Future.sequence(fs),
-          scala.concurrent.duration.Duration.Inf).flatten
+        val fs = source.listTables().map(t => Future(Try(ingestOne(t))))
+        val results = Await.result(Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf)
+        results.collectFirst { case Failure(e) => throw e }
+        results.flatMap(_.get)
       } finally pool.shutdown()
     }
 }

@@ -752,7 +752,17 @@ object Dedup {
       approx_count_distinct(col("src")).as("v")).collect()(0)
     val e = r.getLong(0) / 2.0
     val v = math.max(r.getLong(1), 1L).toDouble
-    if (r.getLong(0) <= driverMax) driverComponents(edges)
+    // the driver branch reads ids as longs — only integral id types take
+    // it (string/decimal doc ids fall through to the distributed loops,
+    // which order any type)
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralIds && r.getLong(0) <= driverMax) driverComponents(edges)
     else if (starPreferred(e, v)) connectedComponentsStar(pairs, math.max(maxIter, 30))
     else minLabelLoop(edges, r.getLong(0), maxIter)
   }
@@ -763,24 +773,31 @@ object Dedup {
     * happens, so the materialization is bounded by this constant, not by
     * data — the same bounded-by-construction class as the bloom bitmap
     * (≤ m/64 longs) and the TotalOrder boundary array (nb−1 doubles).
-    * 2^21 rows ≈ 32 MB of (long, long): trivially driver-safe, and far
-    * above every gate graph (~9k rows). Why it exists: each distributed
+    * 2^19 rows = 8 MB of raw (long, long) pairs — tens of MB with the
+    * boxed union-find map on top, sized for a DEFAULT 1g driver (not
+    * just the bench's 16g), and still ~60× every gate graph (~9k rows).
+    * Why it exists: each distributed
     * propagation round costs 4-5 exchanges of scheduling constants, and
     * a metadata-sized graph pays O(log d) rounds of pure floor — the
     * union-find closes the same graph in microseconds after one collect
     * job over already-checkpointed local blocks. At corpus scale the
     * edge set blows past the bound and the distributed loops take over
     * (measured both ways, BENCH_NOTES r10). */
-  private[graft] val driverClosureMaxEdges: Long = 1L << 21
+  private[graft] val driverClosureMaxEdges: Long = 1L << 19
 
   /** Driver union-find over a bounded symmetrized edge frame: path
     * halving + union by attachment under the SMALLER root id, so every
     * root IS its component minimum — identical output to the
-    * distributed forms (min id per component, one row per vertex). */
+    * distributed forms (min id per component, one row per vertex;
+    * doc_id/comp keep the input id type — the dispatcher only routes
+    * integral id types here). Collected as a typed Dataset (specialized
+    * long pairs), not Rows. */
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    import spark.implicits._
     val arr = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect()
+      .as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long](arr.length * 2)
     def find(x: Long): Long = {
       var r = x
@@ -793,19 +810,21 @@ object Dedup {
       }
       r
     }
-    arr.foreach { row =>
-      val a = find(row.getLong(0)); val b = find(row.getLong(1))
+    arr.foreach { case (s, d) =>
+      val a = find(s); val b = find(d)
       if (a != b) {
         // attach the larger root under the smaller: roots stay minima
         if (a < b) parent.put(b, a) else parent.put(a, b)
       }
     }
     val verts = new java.util.HashSet[Long](arr.length * 2)
-    arr.foreach { row => verts.add(row.getLong(0)); verts.add(row.getLong(1)) }
+    arr.foreach { case (s, d) => verts.add(s); verts.add(d) }
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](verts.size)
     verts.forEach(id => out += ((id, find(id))))
-    import spark.implicits._
+    // cast back so int/short doc ids keep their type, matching the
+    // distributed forms' output schema exactly
     out.toSeq.toDF("doc_id", "comp")
+      .select(col("doc_id").cast(idType), col("comp").cast(idType))
   }
 
   /** The dispatch boundary, exposed for the spec: star contraction only
@@ -1052,7 +1071,14 @@ object Dedup {
     * computed bucket — no merge aggregation needed after the union. */
   def clusterSizeHistogram(df: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+    // self-pairs (id1 == id2) would be the one way a LABELED component
+    // could have size 1 and collide with the arithmetic size-1 bucket
+    // below (two output rows for cluster_size = 1). A doc paired only
+    // with itself IS a singleton cluster — dropping the self-pair routes
+    // it through the |df| − |labeled| arithmetic, which counts it
+    // exactly once. (No gate emits self-pairs — jaccardPairs joins on
+    // id1 < id2 — this guards the standalone operator.)
+    val comps = connectedComponents(pairs.filter(col("id1") =!= col("id2")))
     val hist = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     val singles = df.select(lit(1L).as("is_doc"))

@@ -117,4 +117,32 @@ class IngestJobSpec extends SparkSpec {
     assert(par.run() === serial.run())
     assert(cells(parStore.read("currency")) === cells(serialStore.read("currency")))
   }
+
+  test("parallel run awaits every table before propagating a failure") {
+    val src = tmpDir("src")
+    writeSource(src, Map(
+      "currency" -> Fixtures.currency(spark),
+      "payment" -> Fixtures.payment(spark)))
+    val inner = new ParquetSource(spark, src)
+    // a source whose middle table always fails: run() must still land
+    // the healthy tables (await-all semantics — a fail-fast await would
+    // leave their writes racing in the background) and then rethrow
+    val failing = new OltpSource {
+      def listTables(): Seq[String] = Seq("currency", "broken", "payment")
+      def full(table: String): org.apache.spark.sql.DataFrame =
+        if (table == "broken") throw new RuntimeException("boom: broken table")
+        else inner.full(table)
+      def incremental(table: String, c: Timestamp, u: Timestamp): org.apache.spark.sql.DataFrame =
+        if (table == "broken") throw new RuntimeException("boom: broken table")
+        else inner.incremental(table, c, u)
+    }
+    val landedDir = tmpDir("landed-fail")
+    val store = new ParquetStore(spark, landedDir)
+    val job = new IngestJob(failing, store, parallelism = 3)
+    val e = intercept[RuntimeException](job.run())
+    assert(e.getMessage.contains("boom"))
+    // both healthy tables completed their writes before the rethrow
+    assert(store.read("currency").count() === Fixtures.currency(spark).count())
+    assert(store.read("payment").count() === Fixtures.payment(spark).count())
+  }
 }

@@ -260,6 +260,36 @@ class OperatorsSpec extends SparkSpec {
     val sparseDriver = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sparseDriver === sparse)
+    // non-integral ids must NOT take the driver branch (it reads longs):
+    // string doc ids route to the distributed loops and still close
+    val strComps = Dedup.connectedComponents(
+      Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id1", "id2"))
+    assert(strComps.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(strComps.collect().map(r => r.getString(0) -> r.getString(1)).toMap ===
+      Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // integral-but-not-long ids take the driver branch and KEEP their type
+    val intComps = Dedup.connectedComponents(
+      Seq((1, 2), (2, 3)).toDF("id1", "id2"))
+    assert(intComps.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(intComps.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ===
+      Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
+  test("clusterSizeHistogram: one row per size, self-pairs count as singletons") {
+    import spark.implicits._
+    val docsDf = (1L to 6L).toDF("doc_id")
+    // pair cluster {1,2}, self-pair (5,5) — a self-paired doc is a
+    // singleton CLUSTER and must merge into the arithmetic size-1 bucket
+    // (two rows for cluster_size=1 would break keyed consumers)
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("id1", "id2")
+    val hist = Dedup.clusterSizeHistogram(docsDf, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.map(_._1).distinct.length === hist.length,
+      s"duplicate cluster_size keys in ${hist.toSeq}")
+    // {1,2} is a 2-cluster; 3,4,5,6 are singletons (5 via its self-pair)
+    assert(hist.toMap === Map(1L -> 4L, 2L -> 1L))
   }
 
   test("star contraction fails loud when maxIter is too small") {
