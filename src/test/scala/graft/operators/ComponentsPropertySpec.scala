@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based three-way equality of the connected-components
+  * algorithms: for ANY random pair graph — including self-pairs,
+  * duplicate pairs in both orientations, hub nodes, and disjoint
+  * clusters — the driver union-find (default dispatch under the size
+  * bound), distributed min-label propagation (driverMax = 0), and star
+  * contraction must emit identical (doc_id, comp) labelings, and every
+  * labeling must match a reference closure computed independently in
+  * plain Scala. (Raw ScalaCheck runner: the scalatest bridge artifact is
+  * not on the offline classpath.) */
+class ComponentsPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // random graphs over a small id universe so collisions/chains/hubs are
+  // common; self-pairs and duplicates deliberately allowed
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    ids = Gen.choose(0L, 24L)
+    pairs <- Gen.listOfN(n, Gen.zip(ids, ids))
+  } yield pairs
+
+  /** Independent reference: brute-force closure by repeated relabeling. */
+  private def reference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    pairs.foreach { case (a, b) =>
+      label.getOrElseUpdate(a, a); label.getOrElseUpdate(b, b)
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+        // chase one level so chains converge
+        val la = label(label.getOrElse(label(a), label(a)))
+        if (label(a) != la) { label(a) = la; changed = true }
+      }
+    }
+    // fully resolve
+    def root(x: Long): Long = { var r = x; while (label(r) != r) r = label(r); r }
+    label.keys.map(k => k -> root(k)).toMap
+  }
+
+  test("driver UF == min-label == star == reference closure on random graphs") {
+    val prop = Prop.forAll(graphGen) { pairs =>
+      val df = pairs.toDF("id1", "id2")
+      def toMap(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = reference(pairs)
+      val uf = toMap(Dedup.connectedComponents(df))
+      val lp = toMap(Dedup.connectedComponents(df, driverMax = 0L))
+      val star = toMap(Dedup.connectedComponentsStar(df))
+      uf == expected && lp == expected && star == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(result.passed, result.toString)
+  }
+}
