@@ -52,30 +52,59 @@ object Bench {
     }
   }
 
-  /** Per-query times from the previous committed BENCH_FULL.json (the
-    * regression baseline for the rerun trigger), plus a status string
-    * that lands in the artifact — the parse is hand-rolled and tightly
-    * coupled to the format Bench itself writes, so a silent Map.empty
-    * (which disables the rerun trigger entirely) must be VISIBLE:
-    * "loaded" | "absent" | "sf_mismatch" | "unreadable". Only a
-    * same-sf-dir artifact is used; a dev run at another sf must not mark
+  /** Per-sf-dir baseline artifact path: a scale-curve run at
+    * testdata_scaled/x10 must not clobber the sf0.1 regression baseline
+    * (r10's closing artifact ran with `"baseline": "sf_mismatch"` — the
+    * rerun self-defense silently disabled — exactly because the shared
+    * BENCH_FULL.json had been overwritten by a curve run). Basename plus
+    * a short CRC of the full path so distinct parents with the same leaf
+    * ("x1" under two roots) cannot alias. */
+  private[graft] def baselinePathFor(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val crc = new java.util.zip.CRC32()
+    crc.update(sfDir.getBytes("UTF-8"))
+    f"BENCH_FULL.$base-${crc.getValue & 0xffffL}%04x.json"
+  }
+
+  /** Per-query times from the previous committed full artifact for THIS
+    * sf dir (the regression baseline for the rerun trigger), plus a
+    * status string that lands in the artifact — the parse is hand-rolled
+    * and tightly coupled to the format Bench itself writes, so a silent
+    * Map.empty (which disables the rerun trigger entirely) must be
+    * VISIBLE: "loaded" | "loaded_legacy" | "absent" | "sf_mismatch" |
+    * "unreadable". The per-sf artifact is preferred; the shared legacy
+    * BENCH_FULL.json is a migration fallback and only used when its
+    * recorded sf matches — a dev run at another sf must not mark
     * everything regressed. */
-  private def priorTimes(path: String, sfDir: String): (Map[String, Double], String) =
-    try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) (Map.empty, "absent")
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        if (!s.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty, "sf_mismatch")
+  private def priorTimes(path: String, sfDir: String): (Map[String, Double], String) = {
+    def readOne(p: java.nio.file.Path): Option[(Map[String, Double], String)] =
+      try {
+        if (!java.nio.file.Files.exists(p)) None
         else {
-          val qs = s.substring(s.indexOf("\"queries\":{") + 11)
-          val body = qs.substring(0, qs.indexOf('}'))
-          val m = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          (m, if (m.isEmpty) "unreadable" else "loaded")
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (!s.contains("\"sf\":\"" + sfDir + "\"")) Some((Map.empty, "sf_mismatch"))
+          else {
+            val qs = s.substring(s.indexOf("\"queries\":{") + 11)
+            val body = qs.substring(0, qs.indexOf('}'))
+            val m = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            Some((m, if (m.isEmpty) "unreadable" else "loaded"))
+          }
         }
-      }
-    } catch { case _: Throwable => (Map.empty, "unreadable") }
+      } catch { case _: Throwable => Some((Map.empty, "unreadable")) }
+    readOne(java.nio.file.Paths.get(path)) match {
+      case Some(hit) => hit
+      case None =>
+        // migration fallback: the pre-r11 shared artifact, trusted only
+        // when its sf matches (else report absent — a mismatched legacy
+        // file tells us nothing about THIS sf dir)
+        readOne(java.nio.file.Paths.get("BENCH_FULL.json")) match {
+          case Some((m, "loaded")) => (m, "loaded_legacy")
+          case _ => (Map.empty, "absent")
+        }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     // ambient load at PROCESS ENTRY — before the SparkSession (whose
@@ -83,7 +112,25 @@ object Bench {
     // 8-13 for a minute) so the field measures the HOST, not this JVM's
     // own startup. Measured: entry 0.3 vs post-session 13.1 on an idle
     // box.
-    val loadPreWarm = loadavg()
+    val loadEntry = loadavg()
+    // Contended-window gate (r9 + r10 both landed the round's closing
+    // artifact on a neighbor-load spike): when ambient load at entry
+    // exceeds the threshold, poll until it settles or the deadline
+    // passes — bounded, so a permanently-busy host still produces an
+    // artifact (with the wait + residual load recorded, so a reader can
+    // tell "ran clean" from "gave up waiting"). Entry is the one moment
+    // the 1-min loadavg reflects ONLY the host: after SparkSession
+    // creation our own heap pre-touch dominates it.
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "300").toDouble
+    val settleLoad = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
+    val settleT0 = System.nanoTime()
+    var loadPreWarm = loadEntry
+    while (loadPreWarm > settleLoad &&
+        (System.nanoTime() - settleT0) / 1e9 < settleMax) {
+      Thread.sleep(10000)
+      loadPreWarm = loadavg()
+    }
+    val settleWait = (System.nanoTime() - settleT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -165,7 +212,7 @@ object Bench {
     // regression baseline: the previous run's full artifact, read BEFORE
     // this run overwrites it
     val (prior, baselineStatus) = priorTimes(
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_FULL.json"), sfDir)
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", baselinePathFor(sfDir)), sfDir)
     val health = new HealthListener
     spark.sparkContext.addSparkListener(health)
 
@@ -252,12 +299,19 @@ object Bench {
     // the JSON line's head was truncated. stdout gets a compact line
     // (family subtotals + slowest queries) that fits the tail window.
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
-    // filtered dev runs must never clobber the full-surface artifact
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_entry":$loadEntry,"settle_wait_sec":${r3(settleWait)},"loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
+    // filtered dev runs must never clobber the full-surface artifacts
     val fullPath = java.nio.file.Paths.get(
       if (only.isDefined) "BENCH_DEV.json" else "BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes("UTF-8"))
+    // per-sf copy: the regression baseline priorTimes reads next run —
+    // curve runs at other sf dirs land in their own files and can no
+    // longer disable the sf0.1 rerun defense
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(baselinePathFor(sfDir)),
+        (fullJson + "\n").getBytes("UTF-8"))
 
     def family(n: String): String =
       if (n.startsWith("q")) "relational"
@@ -278,7 +332,7 @@ object Bench {
     // sbt adds no prefix and no trailing "[success]" line.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"families":$fams,"sf":"$sfDir","loadavg_entry":$loadEntry,"settle_wait_sec":${r3(settleWait)},"loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"spill_bytes_total":${spills.map(_._2).sum},"failed_tasks_total":${fails.map(_._2).sum},"full":"${fullPath.getFileName}"}""")
     System.out.flush()
   }
 }

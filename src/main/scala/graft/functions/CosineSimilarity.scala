@@ -133,6 +133,7 @@ object GraftFunctions {
   val prefixCollisionName = "graft_prefix_collision"
   val signBucketsName = "graft_sign_buckets"
   val projectPlanesName = "graft_project_planes"
+  val winnowName = "graft_winnow_fingerprints"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -189,6 +190,18 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         projectPlanesName, exprs => ProjectPlanes(exprs(0), exprs(1)), "built-in")
     }
+    ifAbsent(winnowName) {
+      registry.createOrReplaceTempFunction(
+        winnowName, exprs => {
+          def litInt(e: Expression, what: String): Int = e match {
+            case l if l.foldable => l.eval().asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(
+              s"$winnowName $what must be an int literal, got $other")
+          }
+          WinnowFingerprints(exprs(0),
+            litInt(exprs(1), "k"), litInt(exprs(2), "w"))
+        }, "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -229,6 +242,13 @@ object GraftFunctions {
     * ruinous there). */
   def prefixCollision(a: Column, b: Column, len: Column): Column =
     call_function(prefixCollisionName, a, b, len)
+
+  /** Winnowing fingerprint selection over a token array — the fused
+    * [[WinnowFingerprints]] kernel (one O(G) deque pass per document). */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(winnowName, tokens, lit(k), lit(w))
+  }
 
   /** MinHash signature aggregate over a token column → array<long>. */
   def minhash(token: Column, numHashes: Int): Column =

@@ -54,15 +54,34 @@ object TextOps {
     *
     * Returns (doc_id, pos, fp): the selected gram positions (1-based)
     * and their 60-bit portable md5 hashes ([[Sampling.hash60]] family, so
-    * a SQL oracle replays every selection). Pure column algebra: the
-    * token array materializes once per row, gram→window membership is a
-    * bounded explode (≤ w windows per gram), and the per-window argmin is
-    * one partitioned aggregation — linear, no joins. */
+    * a SQL oracle replays every selection). One fused kernel per document
+    * ([[graft.functions.WinnowFingerprints]]): incremental md5 over the
+    * token bytes, a monotonic deque for the sliding minimum, and
+    * record-on-change emission that IS the distinct — so the plan is
+    * scan → byDoc exchange → project → explode, with no window-membership
+    * explode, no struct-min SortAggregate, and no corpus-wide distinct
+    * (the composed form [[winnowComposed]] pays all three; WinnowPeek
+    * measured them at ~0.6 s of its 1.04 s at sf0.1). */
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // pre-explode doc redistribution (see Dedup.byDoc): the per-gram
-    // hash60 digest is CPU-bound, and a single-row-group corpus file
-    // would otherwise run the whole gram stage as one task
+    // md5 digest is CPU-bound, and a single-row-group corpus file would
+    // otherwise run the whole fingerprint stage as one task
+    Dedup.byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowFingerprints(
+          tokens(col(textCol)), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** The composed column-algebra form of [[winnow]] — gram explode →
+    * bounded window-membership explode (≤ w windows per gram) →
+    * per-(doc, win) argmin aggregation → distinct. Kept as the
+    * independent second implementation the equality spec checks the
+    * fused kernel against (same role as the portable MinHash twins). */
+  private[graft] def winnowComposed(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     // G (the doc's gram count) is a pure function of the token array, so
     // it is computed BEFORE the explode and carried per gram row — the
     // previous form recovered it as max(pos) OVER (PARTITION BY doc_id),
