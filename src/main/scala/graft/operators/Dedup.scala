@@ -957,7 +957,9 @@ object Dedup {
     * (doc_id, comp) for every id appearing in a pair, comp = component
     * minimum.
     *
-    * Each round is two groupBy+join passes over the CURRENT edge set:
+    * Each round is two partitioned-window-minimum passes over the
+    * CURRENT edge set (three exchanges, zero joins — see the in-loop
+    * comment for why windows beat aggregate-then-rejoin here):
     *   large-star: for each node u, hook every neighbor v > u to
     *     m = min(N(u) ∪ {u});
     *   small-star: normalize edges to (hi, lo) and hook every lo-side
@@ -975,10 +977,14 @@ object Dedup {
     * Measured on the sf0.1×5 near-dup graph the gates use, label
     * propagation wins (1.4 s vs 2.2 s): that graph is vertex-shaped
     * (edge set ≈ vertex set, shallow components), so star contraction's
-    * two shuffle stages + distinct + set-equality probes per round cost
-    * more than they shrink. The gates therefore stay on
-    * [[connectedComponents]]; this form is the library's alternative
-    * for when candidate generation emits an edge-dominated graph. */
+    * per-round shuffles cost more than they shrink. The gates therefore
+    * stay on [[connectedComponents]]; this form is the library's
+    * alternative for when candidate generation emits an edge-dominated
+    * graph. r11 loop-hygiene pass (same-window A/B at sf0.1, gate
+    * graph): window minima instead of groupBy+rejoin, no intermediate
+    * distinct, and star-predicate convergence (detects fixpoint the
+    * round it forms, not one set-equality round later) — 2.62 → 1.88 s,
+    * −28%. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // one scan of the (arbitrarily expensive) pair plan: normalize to
     // (hi, lo) and checkpoint, then derive BOTH the vertex set and the
@@ -998,48 +1004,72 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var iter = 0
+    // Fixpoint = the edge set is a disjoint union of stars centered at
+    // component minima (paper Thm 1). On (hi, lo)-normalized edges that
+    // is directly checkable: every hi has exactly one edge AND no node
+    // appears as both hi and lo (centers are pure-lo, leaves pure-hi;
+    // center < leaves by normalization, and since nodes never vanish
+    // from a still-edged component and labels only decrease, the center
+    // IS the component minimum). Checking the predicate — one union +
+    // one partial-aggregated groupBy per round — replaces the previous
+    // set-equality probe (count + anti-join), which could only see the
+    // fixpoint one full round AFTER the round that produced it: it
+    // detects stars the moment they form, and fires before round 1 when
+    // the candidate generator already emits stars (common for near-dup
+    // clusters whose members all pair with the cluster minimum).
+    def isStarSet(e: DataFrame): Boolean =
+      e.select(col("hi").as("n"), lit(1).as("dh"), lit(0).as("dl"))
+        .union(e.select(col("lo").as("n"), lit(0).as("dh"), lit(1).as("dl")))
+        .groupBy("n").agg(sum(col("dh")).as("nh"), sum(col("dl")).as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
+        .isEmpty
+    // the initial edge count sizes the loop exchanges (like the
+    // min-label form — the edge set only contracts, so it bounds every
+    // round)
+    val edgeCount = edges.count()
     var converged = false
-    // the edge count both sizes the loop exchanges (like the min-label
-    // form — the edge set only contracts, so the initial count bounds
-    // every round) and seeds the fixpoint comparison; carried across
-    // rounds so each round runs ONE count job, not two
-    var edgeCount = edges.count()
     withShufflePartitions(pairs.sparkSession,
       loopPartitions(pairs.sparkSession, edgeCount * 2)) {
+    converged = isStarSet(edges)
     while (!converged && iter < maxIter) {
+      // Both star phases as PARTITIONED window minima instead of
+      // groupBy + fan-back join: the aggregate-then-rejoin form paid an
+      // exchange for the aggregate AND an exchange for the join side
+      // every round, and its two consumers of the joined frame could not
+      // share a shuffle (different subplans). A partition-only window
+      // computes the same per-key minimum in one exchange and leaves the
+      // carrier rows in place, so each round is exchange(u) + window,
+      // exchange(hi) + window (its two consumers reuse the exchange —
+      // identical subtrees), and the distinct — three exchanges, zero
+      // joins. Same hot-key placement as the groupBy (a viral node's
+      // edges land in one partition either way).
+      import org.apache.spark.sql.expressions.Window
       // large-star over the symmetric view: m = min(N(u) ∪ {u}); hook
       // every strictly-larger neighbor to m. Emitted edges all satisfy
-      // v > u ≥ m, so (v, m) is already (hi, lo)-normalized.
+      // v > u ≥ m, so (v, m) is already (hi, lo)-normalized. No distinct
+      // here: downstream minima are duplicate-insensitive and the
+      // post-small-star distinct dedupes, so an exchange here would be a
+      // full |E| shuffle per round for nothing.
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val afterLarge = sym.filter(col("v") > col("u"))
-        .join(mins, Seq("u"))
-        .select(col("v").as("hi"), col("m").as("lo"))
+      val afterLarge = sym
+        .withColumn("mn", min(col("v")).over(Window.partitionBy("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("mn"), col("u")).as("lo"))
         .filter(col("hi") =!= col("lo"))
-        .distinct()
       // small-star on (hi, lo): m = min(lo) per hi; hook hi and every
       // other lo-side neighbor to m.
-      val smallMins = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = afterLarge.join(smallMins, Seq("hi"))
+      val w = afterLarge
+        .withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+      val next = w
         .select(col("lo").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
-        .union(smallMins.select(col("hi"), col("m").as("lo")))
+        .union(w.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint()
-      // Fixpoint = identical edge set. Both are DISTINCT (hi, lo) sets,
-      // so equal counts + one-sided containment decide equality: run the
-      // anti-join probe only on rounds where the cheap count comparison
-      // (a job over checkpointed local blocks, no shuffle) says the sizes
-      // match — in practice only the final round, since the edge set
-      // strictly contracts until fixpoint.
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next
-      edgeCount = nextCount
       iter += 1
+      converged = isStarSet(edges)
     }
     } // withShufflePartitions
     if (!converged)
