@@ -112,6 +112,56 @@ object BandIndex {
     writeIndex(corpus, idCol, textCol, numHashes, bands, buckets, name,
       mode = "overwrite", batchId = NoBatch)
 
+  /** Session memo for [[ensure]]: name → (corpus file fingerprint, plan
+    * semantic hash) already verified this session, so repeat ensure
+    * calls (every gate execution) are a pure driver-side check. */
+  private val ensureMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, (Long, Int)]]()
+
+  /** Idempotent [[build]]: (re)builds the persisted index iff it is
+    * absent or its recorded provenance — corpus FILE fingerprint
+    * ([[graft.core.SourceFingerprint]]), corpus PLAN semantic hash, and
+    * the sketch parameters — no longer matches. The provenance lands in
+    * a one-row `<name>_meta` table next to the index, so a corpus
+    * rewrite between sessions triggers a rebuild instead of serving
+    * stale matches (the same staleness window the bloom memo closes
+    * with its fingerprint key). This is the entry point for flows whose
+    * per-batch cost should read the compact index, not re-sketch the
+    * corpus: ingest ensures once, every batch probes. */
+  def ensure(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, buckets: Int, name: String): Unit = {
+    val spark = corpus.sparkSession
+    val fp = graft.core.SourceFingerprint.of(corpus)
+    val sem = corpus.semanticHash()
+    val memo = ensureMemo.synchronized {
+      val existing = ensureMemo.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+        ensureMemo.put(spark, m)
+        m
+      }
+    }
+    if (memo.get(name).contains((fp, sem))) return
+    val metaName = s"${name}_meta"
+    val recorded: Option[(Long, Int, Int, Int, Int)] =
+      if (!spark.catalog.tableExists(metaName)) None
+      else try {
+        val r = spark.table(metaName).collect()(0)
+        Some((r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      } catch { case _: Throwable => None }
+    if (!recorded.contains((fp, sem, numHashes, bands, buckets))) {
+      build(corpus, idCol, textCol, numHashes, bands, buckets, name)
+      graft.core.Warehouse.reclaimOrphan(spark, metaName)
+      import spark.implicits._
+      Seq((fp, sem, numHashes, bands, buckets))
+        .toDF("fp", "sem", "num_hashes", "bands", "buckets")
+        .write.mode("overwrite").saveAsTable(metaName)
+    }
+    memo.put(name, (fp, sem))
+  }
+
   /** Incremental index maintenance: sketch ONLY `batch` and append its
     * bands/token-sets to the existing index tables. The write hashes the
     * batch into the tables' bucket layout — the corpus files are never
@@ -161,10 +211,14 @@ object BandIndex {
       if (mode == "overwrite") s"${base}_v${versionOf(spark, base) + 1}"
       else physicalTable(spark, base)
     def write(df: DataFrame, base: String, keys: Seq[String]): Unit = {
+      val t = target(base)
+      // a previous JVM's managed location may survive its (in-memory)
+      // catalog entry and block re-creation — reclaim it first
+      if (mode == "overwrite") graft.core.Warehouse.reclaimOrphan(spark, t)
       df.write.mode(mode)
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(target(base))
+        .saveAsTable(t)
       if (mode == "overwrite")
         retarget(spark, base, versionOf(spark, base) + 1)
     }

@@ -60,7 +60,10 @@ object Sampling {
     * window, so the plan survives corpus scale. */
   def tokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
       budget: Long): DataFrame =
-    TotalOrder.globalCumSum(df, orderCol, tokenCol, "cum_tokens")
+    // the budget doubles as TotalOrder's bucket-pruning bound: buckets
+    // whose prefix offset already exceeds it can't contribute kept rows
+    TotalOrder.globalCumSum(df, orderCol, tokenCol, "cum_tokens",
+        inclusive = true, upperBound = Some(budget))
       .filter(col("cum_tokens") <= budget)
 
   /** Shard the WHOLE corpus into consecutive ~`budget`-token chunks (the

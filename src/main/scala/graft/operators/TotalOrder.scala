@@ -121,6 +121,120 @@ object TotalOrder {
       if (m != null) m.clear()
     }
 
+  /** Catalog table holding one persisted boundary array for `key`.
+    * Boundary VALUES are correctness-neutral (any sorted array merely
+    * partitions the total order; prefix offsets aggregate from the
+    * actually-bucketed totals), so readers trust the table without a
+    * fingerprint check — worst case a stale array skews bucket balance,
+    * never results. */
+  private def boundaryTableFor(key: (Int, String, Int)): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(s"${key._1}|${key._2}|${key._3}".getBytes("UTF-8"))
+    f"graft_boundaries_${crc.getValue}%08x"
+  }
+
+  private def readPersisted(spark: org.apache.spark.sql.SparkSession,
+      key: (Int, String, Int)): Option[Option[Seq[Double]]] = {
+    val name = boundaryTableFor(key)
+    if (!spark.catalog.tableExists(name)) None
+    else try {
+      val rows = spark.table(name).collect()
+      if (rows.isEmpty) None
+      else if (rows(0).isNullAt(0)) Some(None)
+      else Some(Some(rows(0).getSeq[Double](0)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The boundary array for (df, img, nb): session memo, then the
+    * persisted catalog table, then the sketch scan. The sketch is the
+    * only full input pass; both cheaper tiers serve the identical role
+    * because boundary values are correctness-neutral (see
+    * [[boundaryTableFor]]). */
+  private def boundariesFor(df: DataFrame, img: Column, nb: Int,
+      probs: Seq[Column]): Option[Seq[Double]] = {
+    val spark = df.sparkSession
+    val perSession = boundaryCache.synchronized {
+      val existing = boundaryCache.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap
+          .empty[(Int, String, Int), Option[Seq[Double]]]
+        boundaryCache.put(spark, m)
+        m
+      }
+    }
+    val key = (df.semanticHash(), img.toString, nb)
+    perSession.getOrElseUpdate(key,
+      readPersisted(spark, key).getOrElse {
+        val row = df.agg(
+          percentile_approx(img, array(probs: _*), lit(10000)).as("_bnds"))
+          .collect()(0)
+        if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
+      })
+  }
+
+  /** The one-row `_bnds` frame for the bucketing cross-join. Tier order:
+    * session memo (local literal frame, zero jobs), persisted boundary
+    * table READ IN-PLAN (the tiny scan folds into the consumer's own job
+    * as a broadcast — no separate collect round-trip, which on a
+    * scheduling-floor-bound gate is a whole extra job), then the sketch
+    * scan (collected and memoized). The in-plan tier is deterministic
+    * without memoization: both the totals branch and the data branch
+    * broadcast the SAME one-row table, so there is exactly one boundary
+    * draw by construction. */
+  private def boundariesFrame(df: DataFrame, img: Column, nb: Int,
+      probs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val key = (df.semanticHash(), img.toString, nb)
+    val memoed = boundaryCache.synchronized {
+      val m = boundaryCache.get(spark)
+      if (m == null) None else m.get(key)
+    }
+    memoed match {
+      case Some(values) => Seq(values).toDF("_bnds")
+      case None =>
+        val name = boundaryTableFor(key)
+        val persisted =
+          try {
+            if (spark.catalog.tableExists(name))
+              Some(spark.table(name).select(col("_bnds")))
+            else None
+          } catch { case _: Throwable => None }
+        persisted.getOrElse(
+          Seq(boundariesFor(df, img, nb, probs)).toDF("_bnds"))
+    }
+  }
+
+  /** Persist the boundary array for (df, orderCol) into the session
+    * catalog, so COLD consumers of the same (input, order) pair — a new
+    * session, or a bench run with the memo invalidated — read nb−1
+    * doubles from a tiny table instead of re-sketching the corpus. The
+    * versioned-state analogue of [[BandIndex]]: an ingest pipeline lands
+    * boundaries once next to the data it lands, and every later shard /
+    * budget / split job starts from them. Explicit on purpose (the read
+    * path never writes): idempotent, a no-op when the table already
+    * exists or the order type has no numeric image (the range fallback
+    * re-samples by construction). */
+  def persistBoundaries(df: DataFrame, orderCol: String): Unit =
+    doubleImage(df.schema(orderCol).dataType, col(orderCol)).foreach { img =>
+      val spark = df.sparkSession
+      val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (nb > 1) {
+        val key = (df.semanticHash(), img.toString, nb)
+        if (!spark.catalog.tableExists(boundaryTableFor(key))) {
+          val probs = (1 until nb).map(i => lit(i.toDouble / nb))
+          val values = boundariesFor(df, img, nb, probs)
+          // a previous JVM's managed location may survive its
+          // (in-memory) catalog entry and block re-creation
+          graft.core.Warehouse.reclaimOrphan(spark, boundaryTableFor(key))
+          import spark.implicits._
+          Seq(values).toDF("_bnds")
+            .write.mode("overwrite").saveAsTable(boundaryTableFor(key))
+        }
+      }
+    }
+
   /** Ordered-numeric path: deterministic quantile-boundary bucketing.
     * The one-row boundary frame is the ONLY materialized state — served
     * from [[boundaryCache]] after the session's first sketch pass. */
@@ -132,27 +246,10 @@ object TotalOrder {
       // degenerate single bucket: the window itself is the whole order
       return df.withColumn("_pid", lit(0)).withColumn("_prefix", lit(0L))
     val probs = (1 until nb).map(i => lit(i.toDouble / nb))
-    val perSession = boundaryCache.synchronized {
-      val existing = boundaryCache.get(spark)
-      if (existing != null) existing
-      else {
-        val m = scala.collection.concurrent.TrieMap
-          .empty[(Int, String, Int), Option[Seq[Double]]]
-        boundaryCache.put(spark, m)
-        m
-      }
-    }
-    val values = perSession.getOrElseUpdate(
-      (df.semanticHash(), img.toString, nb), {
-        val row = df.agg(
-          percentile_approx(img, array(probs: _*), lit(10000)).as("_bnds"))
-          .collect()(0)
-        if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
-      })
-    // one row, nb-1 doubles — a LOCAL frame, so both branches read ONE
-    // sketch draw and repeat consumers pay zero input I/O
-    import spark.implicits._
-    val bnds = Seq(values).toDF("_bnds")
+    // one row, nb-1 doubles — a local-literal or in-plan-table frame, so
+    // both branches read ONE boundary draw and repeat consumers pay zero
+    // input I/O (tier order in [[boundariesFrame]])
+    val bnds = boundariesFrame(df, img, nb, probs)
     // bucket id = count of boundaries strictly below the value: monotone
     // non-decreasing in the total order, so bucket i < bucket i+1 holds.
     // Computed as a static binary-search when-tree (log2(nb) codegen'd
@@ -231,11 +328,31 @@ object TotalOrder {
     * call per (input, order) pair runs the boundary sketch scan at
     * plan-build time. */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, inclusive: Boolean = true): DataFrame = {
+      out: String, inclusive: Boolean = true): DataFrame =
+    globalCumSum(df, orderCol, valueCol, out, inclusive, None)
+
+  /** [[globalCumSum]] with an optional bucket-pruning upper bound: when
+    * the caller will keep only rows with `out <= bound` (the token-budget
+    * shard cut), every bucket whose PREFIX offset already exceeds the
+    * bound can be dropped BEFORE the intra-bucket window — its rows all
+    * have running sums past the bound. Output-equivalent to filtering
+    * after, but the window sorts ~one bucket instead of the corpus: the
+    * running sum is the prefix (untouched by the prune — it aggregates
+    * from the totals branch over ALL buckets) plus an intra-bucket term
+    * over the bucket's own rows, also untouched. TokenBudgetPeek
+    * measured the unpruned window + downstream materialization as the
+    * dominant term of the budget gate at 10× bench sf. */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
+      out: String, inclusive: Boolean, upperBound: Option[Long]): DataFrame = {
     val upper = if (inclusive) 0L else -1L
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, upper)
-    withPrefixOffsets(df, orderCol, col(valueCol))
+    val withOffsets = withPrefixOffsets(df, orderCol, col(valueCol))
+    val pruned = upperBound match {
+      case Some(b) => withOffsets.filter(col("_prefix") <= b)
+      case None    => withOffsets
+    }
+    pruned
       .withColumn(out,
         col("_prefix") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
       .drop("_pid", "_prefix")

