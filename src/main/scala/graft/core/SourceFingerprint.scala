@@ -36,10 +36,22 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, File
   */
 object SourceFingerprint {
 
-  def of(df: DataFrame): Long = {
+  def of(df: DataFrame): Long = ofCovered(df).getOrElse(0xcbf29ce484222325L)
+
+  /** [[of]] plus COVERAGE: `Some(fingerprint)` iff at least one
+    * file-backed leaf contributed files to the hash; `None` when the
+    * plan has no fingerprintable leaf at all (JDBC relations, views
+    * over mutable non-file sources, pure local relations). A
+    * no-coverage fingerprint cannot witness a data rewrite, so memo
+    * layers keyed on it would silently degrade to plan-hash-only keying
+    * — exactly the stale-state window the fingerprint exists to close.
+    * Callers that memoize derived state should skip memoization (or at
+    * least log) on `None` instead of trusting the bare seed. */
+  def ofCovered(df: DataFrame): Option[Long] = {
     var h = 0xcbf29ce484222325L
+    var covered = false
     def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
-    def mixFiles(fi: FileIndex): Unit = fi match {
+    def mixFiles(fi: FileIndex): Unit = { covered = true; fi match {
       case p: PartitioningAwareFileIndex =>
         p.allFiles().foreach { f =>
           mix(f.getPath.toString.hashCode.toLong)
@@ -49,7 +61,7 @@ object SourceFingerprint {
       case other =>
         other.inputFiles.foreach(s => mix(s.hashCode.toLong))
         mix(other.sizeInBytes)
-    }
+    } }
     GraftSqlInternals.analyzedPlan(df).foreach {
       case lr: LogicalRelation =>
         lr.relation match {
@@ -68,6 +80,6 @@ object SourceFingerprint {
         }
       case _ => ()
     }
-    h
+    if (covered) Some(h) else None
   }
 }

@@ -93,36 +93,58 @@ object Tables {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     all.foreach { n =>
       // events ships TIMESTAMP(NANOS) in one layout; the legacy conf must
-      // be live before schema inference, exactly as in [[build]]
+      // be live before schema inference, exactly as in [[build]] — but
+      // only AROUND this registration: leaving it set session-wide would
+      // silently change how every LATER parquet read in the caller's
+      // session infers nanos timestamps (ADVICE r10)
+      val savedNanos =
+        if (n == "events")
+          Some(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong"))
+        else None
       if (n == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$n USING parquet " +
-        s"LOCATION '${path(dir, n)}'")
-      // column stats only for the types ANALYZE supports (numeric, string,
-      // binary, boolean, date/timestamp) — embeddings/token arrays have no
-      // NDV/min/max representation and would fail the whole command
-      import org.apache.spark.sql.types._
-      // TimestampNTZType is deliberately EXCLUDED even though ANALYZE
-      // accepts it: Spark 4.1's FilterEstimation.evaluateBinary has no
-      // case for NTZ, so a binary predicate over an NTZ column WITH
-      // column stats crashes optimization under cbo.enabled
-      // (scala.MatchError: TimestampNTZType — measured here on
-      // l_shipdate). Without the colStat the estimator falls back to
-      // conservative selectivity instead of crashing; row counts still
-      // price the join sides correctly.
-      def analyzable(dt: DataType): Boolean = dt match {
-        case _: NumericType => true
-        case StringType | BinaryType | BooleanType | DateType |
-             TimestampType => true
-        case _ => false
+      try {
+        // CREATE OR REPLACE semantics for re-analyze: IF NOT EXISTS
+        // pinned the schema from FIRST registration, so re-analyzing a
+        // dir whose physical layout changed would refresh stats against
+        // a stale catalog schema. Replace = drop + recreate (external
+        // LOCATION table: metadata only, no data touched).
+        if (spark.catalog.tableExists(s"$db.$n"))
+          spark.sql(s"DROP TABLE $db.$n")
+        spark.sql(s"CREATE TABLE $db.$n USING parquet " +
+          s"LOCATION '${path(dir, n)}'")
+        // column stats only for the types ANALYZE supports (numeric,
+        // string, binary, boolean, date/timestamp) — embeddings/token
+        // arrays have no NDV/min/max representation and would fail the
+        // whole command. The ANALYZE scan runs inside the same
+        // conf-save scope as the CREATE: the events reader needs the
+        // legacy nanos conf live at SCAN time too.
+        import org.apache.spark.sql.types._
+        // TimestampNTZType is deliberately EXCLUDED even though ANALYZE
+        // accepts it: Spark 4.1's FilterEstimation.evaluateBinary has no
+        // case for NTZ, so a binary predicate over an NTZ column WITH
+        // column stats crashes optimization under cbo.enabled
+        // (scala.MatchError: TimestampNTZType — measured here on
+        // l_shipdate). Without the colStat the estimator falls back to
+        // conservative selectivity instead of crashing; row counts still
+        // price the join sides correctly.
+        def analyzable(dt: DataType): Boolean = dt match {
+          case _: NumericType => true
+          case StringType | BinaryType | BooleanType | DateType |
+               TimestampType => true
+          case _ => false
+        }
+        val statCols =
+          if (!forAllColumns) Seq.empty
+          else spark.table(s"$db.$n").schema.fields
+            .filter(f => analyzable(f.dataType)).map(f => s"`${f.name}`").toSeq
+        spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS" +
+          (if (statCols.nonEmpty) statCols.mkString(" FOR COLUMNS ", ", ", "")
+           else ""))
+      } finally savedNanos.foreach {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
-      val statCols =
-        if (!forAllColumns) Seq.empty
-        else spark.table(s"$db.$n").schema.fields
-          .filter(f => analyzable(f.dataType)).map(f => s"`${f.name}`").toSeq
-      spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS" +
-        (if (statCols.nonEmpty) statCols.mkString(" FOR COLUMNS ", ", ", "")
-         else ""))
     }
     val m = analyzedDirs.synchronized {
       val existing = analyzedDirs.get(spark)

@@ -67,22 +67,41 @@ final class IngestJob(source: OltpSource, landed: TableStore,
     * leave sibling writes running in the background while the caller
     * already handles the error, and an immediate retry would then race
     * a zombie write on the same landed path. On any failure the first
-    * error (in table order) propagates, as in the serial form. */
+    * error (in table order) propagates AS THE CAUSE of a
+    * [[IngestJob.PartialIngestException]] carrying the tables that DID
+    * land (await-all means later-listed tables may have been fully
+    * ingested before the throw, unlike the serial form which stops at
+    * the first failure) — so callers can reconcile state instead of
+    * guessing which side-effects happened. */
   def run(): Seq[String] =
     if (parallelism <= 1) source.listTables().flatMap(ingestOne)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.util.{Failure, Try}
+      import scala.util.{Failure, Success, Try}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val fs = source.listTables().map(t => Future(Try(ingestOne(t))))
         val results = Await.result(Future.sequence(fs),
           scala.concurrent.duration.Duration.Inf)
-        results.collectFirst { case Failure(e) => throw e }
+        results.collectFirst { case Failure(e) =>
+          throw new IngestJob.PartialIngestException(
+            results.collect { case Success(Some(t)) => t }, e)
+        }
         results.flatMap(_.get)
       } finally pool.shutdown()
     }
+}
+
+object IngestJob {
+  /** A parallel ingest round failed for at least one table AFTER
+    * sibling tables already landed their deltas (await-all semantics).
+    * `landed` lists the tables whose writes completed, in submission
+    * order; the first per-table error (in table order) is the cause. */
+  final class PartialIngestException(val landed: Seq[String], cause: Throwable)
+      extends RuntimeException(
+        s"ingest failed after ${landed.size} table(s) landed " +
+          s"[${landed.mkString(", ")}]: ${cause.getMessage}", cause)
 }
 
 /** Transform stage (reference: src/transform.py:256-308): read the 11

@@ -132,7 +132,14 @@ object BandIndex {
   def ensure(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, buckets: Int, name: String): Unit = {
     val spark = corpus.sparkSession
-    val fp = graft.core.SourceFingerprint.of(corpus)
+    val fpCovered = graft.core.SourceFingerprint.ofCovered(corpus)
+    if (fpCovered.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BandIndex.ensure($name): corpus plan has no file-backed leaf " +
+          "to fingerprint — staleness detection degrades to plan-hash " +
+          "keying; a corpus rewrite behind the same plan will NOT " +
+          "trigger a rebuild (call build() explicitly after rewrites)")
+    val fp = fpCovered.getOrElse(0L)
     val sem = corpus.semanticHash()
     val memo = ensureMemo.synchronized {
       val existing = ensureMemo.get(spark)

@@ -1308,13 +1308,26 @@ object Dedup {
         m
       }
     }
-    val words = perSession.getOrElseUpdate(
-      (corpus.semanticHash(), graft.core.SourceFingerprint.of(corpus),
-        keyCol, mBits, k), {
-        val row = bloomBuild(corpus, keyCol, mBits, k).collect()(0)
-        if (row.isNullAt(0)) Map.empty[Long, Long]
-        else row.getMap[Long, Long](0).toMap
-      })
+    def buildWords(): Map[Long, Long] = {
+      val row = bloomBuild(corpus, keyCol, mBits, k).collect()(0)
+      if (row.isNullAt(0)) Map.empty[Long, Long]
+      else row.getMap[Long, Long](0).toMap
+    }
+    val words = graft.core.SourceFingerprint.ofCovered(corpus) match {
+      case Some(fp) =>
+        perSession.getOrElseUpdate(
+          (corpus.semanticHash(), fp, keyCol, mBits, k), buildWords())
+      case None =>
+        // no file-backed leaf (JDBC, views over mutable sources): the
+        // fingerprint cannot witness a rewrite, so a memo keyed on the
+        // plan alone could serve a stale bitmap whose false NEGATIVES
+        // route past the exact verification join. Build fresh every
+        // call — correctness over amortization — and say so once.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "bloom memo disabled: corpus plan has no file-backed leaf to " +
+            "fingerprint; rebuilding the bitmap on every call")
+        buildWords()
+    }
     val denseArr = new Array[Long](mBits / 64)
     words.foreach { case (w, b) => denseArr(w.toInt) = b }
     import spark.implicits._

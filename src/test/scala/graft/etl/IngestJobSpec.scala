@@ -139,8 +139,12 @@ class IngestJobSpec extends SparkSpec {
     val landedDir = tmpDir("landed-fail")
     val store = new ParquetStore(spark, landedDir)
     val job = new IngestJob(failing, store, parallelism = 3)
-    val e = intercept[RuntimeException](job.run())
+    val e = intercept[IngestJob.PartialIngestException](job.run())
     assert(e.getMessage.contains("boom"))
+    assert(e.getCause.getMessage.contains("boom"))
+    // the exception carries exactly the tables that landed, so a caller
+    // can reconcile partial state instead of guessing
+    assert(e.landed.toSet === Set("currency", "payment"))
     // both healthy tables completed their writes before the rethrow
     assert(store.read("currency").count() === Fixtures.currency(spark).count())
     assert(store.read("payment").count() === Fixtures.payment(spark).count())
