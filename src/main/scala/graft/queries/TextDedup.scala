@@ -982,7 +982,12 @@ object TextDedup {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
       val nStop = size(filter(TextOps.tokens(col("text")),
         x => x.isInCollection(stopwords)))
-      val quality = docs.join(rep, Seq("doc_id"))
+      // materialized once: quality feeds BOTH the exact-dedup keep-key
+      // aggregation and the join's left side below — uncached, the
+      // whole tokenize + repetition-agg + stopword chain runs twice
+      // inside the eligible materialization (plan-audited r11: the two
+      // consumers are different subtrees, so ReuseExchange can't help)
+      val quality = graft.operators.CacheOnce(docs.join(rep, Seq("doc_id"))
         .withColumn("avg_tok_len",
           (length(col("text")).cast("double") - (col("n_tokens") - lit(1)))
             / col("n_tokens").cast("double"))
@@ -992,7 +997,7 @@ object TextDedup {
           && col("avg_tok_len").between(2, 12)
           && col("distinct_ratio") >= 0.3
           && nStop > 0)
-        .select("doc_id", "text", "n_tokens")
+        .select("doc_id", "text", "n_tokens"))
       val keepIds = quality.groupBy("text")
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       // materialize the cleaned-corpus frame once: it feeds the sketch
