@@ -314,9 +314,28 @@ object TotalOrder {
     * returned frame is never executed — the boundary values are memoized
     * driver-side so every consumer reads one sketch draw (see
     * [[boundaryCache]]). Later calls build lazily from the memo. */
-  def globalRowNumber(df: DataFrame, orderCol: String, out: String): DataFrame = {
+  def globalRowNumber(df: DataFrame, orderCol: String, out: String): DataFrame =
+    globalRowNumber(df, orderCol, out, None)
+
+  /** [[globalRowNumber]] with an optional bucket-pruning upper bound:
+    * when the caller will keep only `out <= bound` (a global-order
+    * LIMIT), every bucket whose row-count PREFIX is already >= bound
+    * can be dropped BEFORE the intra-bucket window — its rows all
+    * number past the bound (out = prefix + rn >= prefix + 1). The
+    * numbering of surviving rows is untouched (prefixes aggregate from
+    * the totals branch over ALL buckets), so this is output-equivalent
+    * to filtering after, but the window sorts ~⌈bound/bucket⌉ buckets
+    * instead of the whole input — the difference between "number the
+    * corpus, keep 100" and "number one bucket". */
+  def globalRowNumber(df: DataFrame, orderCol: String, out: String,
+      upperBound: Option[Long]): DataFrame = {
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    withPrefixOffsets(df, orderCol, lit(1L))
+    val withOffsets = withPrefixOffsets(df, orderCol, lit(1L))
+    val pruned = upperBound match {
+      case Some(b) => withOffsets.filter(col("_prefix") < b)
+      case None    => withOffsets
+    }
+    pruned
       .withColumn(out, (col("_prefix") + row_number().over(w)).cast("long"))
       .drop("_pid", "_prefix")
   }

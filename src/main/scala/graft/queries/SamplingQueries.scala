@@ -102,11 +102,13 @@ object SamplingQueries {
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents) d
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Sampling.tokenShards(
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              TextOps.tokenCount(col("text")).as("n_toks")),
-          "doc_id", "n_toks", budget = 5000L)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+      // same base plan as smp_token_budget → same persisted boundary
+      // table; the explicit call keeps the gate self-sufficient
+      // regardless of gate execution order
+      graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
+      Sampling.tokenShards(base, "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "shard_id")
         .orderBy("doc_id")
     },
