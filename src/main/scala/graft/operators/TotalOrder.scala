@@ -174,36 +174,33 @@ object TotalOrder {
   }
 
   /** The one-row `_bnds` frame for the bucketing cross-join. Tier order:
-    * session memo (local literal frame, zero jobs), persisted boundary
-    * table READ IN-PLAN (the tiny scan folds into the consumer's own job
-    * as a broadcast — no separate collect round-trip, which on a
-    * scheduling-floor-bound gate is a whole extra job), then the sketch
-    * scan (collected and memoized). The in-plan tier is deterministic
-    * without memoization: both the totals branch and the data branch
-    * broadcast the SAME one-row table, so there is exactly one boundary
-    * draw by construction. */
+    * persisted boundary table READ IN-PLAN (the tiny scan folds into the
+    * consumer's own job as a broadcast — no separate collect round-trip,
+    * which on a scheduling-floor-bound gate is a whole extra job), then
+    * the session memo (local literal frame), then the sketch scan
+    * (collected and memoized). The table tier comes FIRST even when the
+    * memo is warm: consumers must build the SAME plan shape whether or
+    * not the memo survived (a memo-dependent shape means a cold run
+    * compiles different generated code than the warm run that preceded
+    * it — measured as a whole Janino+JIT pass inside a bench's timed
+    * region). The in-plan tier is deterministic without memoization:
+    * both the totals branch and the data branch broadcast the SAME
+    * one-row table, so there is exactly one boundary draw by
+    * construction. */
   private def boundariesFrame(df: DataFrame, img: Column, nb: Int,
       probs: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val key = (df.semanticHash(), img.toString, nb)
-    val memoed = boundaryCache.synchronized {
-      val m = boundaryCache.get(spark)
-      if (m == null) None else m.get(key)
-    }
-    memoed match {
-      case Some(values) => Seq(values).toDF("_bnds")
-      case None =>
-        val name = boundaryTableFor(key)
-        val persisted =
-          try {
-            if (spark.catalog.tableExists(name))
-              Some(spark.table(name).select(col("_bnds")))
-            else None
-          } catch { case _: Throwable => None }
-        persisted.getOrElse(
-          Seq(boundariesFor(df, img, nb, probs)).toDF("_bnds"))
-    }
+    val name = boundaryTableFor(key)
+    val persisted =
+      try {
+        if (spark.catalog.tableExists(name))
+          Some(spark.table(name).select(col("_bnds")))
+        else None
+      } catch { case _: Throwable => None }
+    persisted.getOrElse(
+      Seq(boundariesFor(df, img, nb, probs)).toDF("_bnds"))
   }
 
   /** Persist the boundary array for (df, orderCol) into the session
@@ -285,6 +282,45 @@ object TotalOrder {
     bucketed.join(broadcast(prefixOf(totals)), Seq("_pid"))
   }
 
+  /** Bounded-output variant of [[quantilePrefixOffsets]] for the
+    * global-LIMIT case (`out <= bound` downstream, unit weights): with a
+    * bound in hand, the shared-exchange shape is the WRONG trade — it
+    * ships the whole input through the `_pid` exchange before a filter
+    * that then discards all but ~⌈bound/bucket⌉ buckets. Here the
+    * totals branch aggregates the UNSHUFFLED frame (map-side partial
+    * counts; the exchange carries nb partials per task, not rows), the
+    * prefix frame broadcasts back onto a second map-side pass, the
+    * bound prunes BEFORE any data exchange, and only surviving-bucket
+    * rows are repartitioned for the window. Costs one extra scan of the
+    * input projection (the two branches no longer share an exchange) —
+    * the right trade exactly when the projection is cheap relative to
+    * shuffling the corpus, which unit-weight row numbering is; weighted
+    * cum-sums (whose projection is a per-doc tokenize) keep the shared
+    * exchange and filter after. */
+  private def boundedCountPrefixOffsets(df: DataFrame, img: Column,
+      bound: Long): DataFrame = {
+    val spark = df.sparkSession
+    val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (nb <= 1)
+      return df.withColumn("_pid", lit(0)).withColumn("_prefix", lit(0L))
+    val probs = (1 until nb).map(i => lit(i.toDouble / nb))
+    val bnds = boundariesFrame(df, img, nb, probs)
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(img > element_at(col("_bnds"), mid + 1), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    def bucketed = df.crossJoin(broadcast(bnds))
+      .withColumn("_pid", search(0, nb - 1))
+      .drop("_bnds")
+    val totals = bucketed.groupBy(col("_pid")).agg(count(lit(1)).as("_ptot"))
+    bucketed.join(broadcast(prefixOf(totals)), Seq("_pid"))
+      .filter(col("_prefix") < bound)
+      .repartition(col("_pid"))
+  }
+
   /** Fallback for types without a numeric image: range partitioning with
     * a single cached materialization (see scaladoc for why the cache is a
     * correctness requirement here, not an optimization). */
@@ -330,12 +366,21 @@ object TotalOrder {
   def globalRowNumber(df: DataFrame, orderCol: String, out: String,
       upperBound: Option[Long]): DataFrame = {
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    val withOffsets = withPrefixOffsets(df, orderCol, lit(1L))
-    val pruned = upperBound match {
-      case Some(b) => withOffsets.filter(col("_prefix") < b)
-      case None    => withOffsets
+    val offsets = upperBound match {
+      case Some(b) =>
+        doubleImage(df.schema(orderCol).dataType, col(orderCol)) match {
+          // numeric order: prune BEFORE any data exchange (see
+          // boundedCountPrefixOffsets for the trade)
+          case Some(img) => boundedCountPrefixOffsets(df, img, b)
+          // range fallback (strings): the ranged frame is cached, so
+          // the post-join filter still prunes the window for free
+          case None =>
+            rangePrefixOffsets(df, orderCol, lit(1L))
+              .filter(col("_prefix") < b)
+        }
+      case None => withPrefixOffsets(df, orderCol, lit(1L))
     }
-    pruned
+    offsets
       .withColumn(out, (col("_prefix") + row_number().over(w)).cast("long"))
       .drop("_pid", "_prefix")
   }

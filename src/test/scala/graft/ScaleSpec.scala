@@ -141,6 +141,34 @@ class ScaleSpec extends SparkSpec {
     assert(rn32 === rn5 && rn32 === rn1, "row number depends on partitioning")
   }
 
+  test("TotalOrder bounded row numbering equals unbounded-then-filter") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, dir, "documents").select("doc_id")
+    def kept(bound: Long, ub: Option[Long]): Seq[(Long, Long)] =
+      graft.operators.TotalOrder
+        .globalRowNumber(docs, "doc_id", "rn", ub)
+        .filter(col("rn") <= bound)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSeq
+    for (bound <- Seq(1L, 7L, 100L, 100000L)) {
+      val pruned = kept(bound, Some(bound))
+      val full = kept(bound, None)
+      assert(pruned === full, s"bound $bound diverged")
+      assert(pruned.map(_._2) === (1L to math.min(bound, full.size.toLong)),
+        s"bound $bound row numbers not contiguous from 1")
+    }
+    // string keys exercise the range-fallback bounded path
+    val byName = graft.core.Tables(spark, dir, "customer")
+      .select("c_name", "c_custkey")
+    val prunedStr = graft.operators.TotalOrder
+      .globalRowNumber(byName, "c_name", "rn", Some(10L))
+      .filter(col("rn") <= 10).orderBy("rn").collect().map(_.getString(0)).toSeq
+    val fullStr = graft.operators.TotalOrder
+      .globalRowNumber(byName, "c_name", "rn")
+      .filter(col("rn") <= 10).orderBy("rn").collect().map(_.getString(0)).toSeq
+    assert(prunedStr === fullStr)
+  }
+
   test("TotalOrder under adversarial key skew: correct when the range " +
       "partitioner degenerates") {
     // keys clustered so tightly that the reservoir sampler may put nearly
