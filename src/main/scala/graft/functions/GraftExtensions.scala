@@ -62,5 +62,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "", "", "built-in"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QuantizeInt8(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.winnowName),
+      new ExpressionInfo(
+        classOf[WinnowFingerprints].getName,
+        null,
+        GraftFunctions.winnowName,
+        "_FUNC_(tokens, k, w) - winnowing fingerprint selection over a " +
+          "token array: array<struct<pos, fp>> of each w-gram window's " +
+          "minimal 60-bit md5 k-gram hash (rightmost on ties), one fused " +
+          "O(G) deque pass per document",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case l if l.foldable => l.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"${GraftFunctions.winnowName} $what must be an int literal, got $other")
+        }
+        WinnowFingerprints(exprs(0),
+          litInt(exprs(1), "k"), litInt(exprs(2), "w"))
+      }))
   }
 }

@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val desc = spark.sql("DESCRIBE FUNCTION graft_cosine").collect()
         .map(_.getString(0)).mkString("\n")
       assert(desc.contains("graft_cosine"))
+      // the winnowing kernel rides the same deployment path
+      val fps = spark.sql(
+        "SELECT size(graft_winnow_fingerprints(array('a','b','c','d'), 2, 2)) AS n")
+        .collect()(0).getInt(0)
+      assert(fps >= 1 && fps <= 3)
     } finally {
       // do not stop(): the underlying SparkContext is shared; restore the
       // suite-wide default session
