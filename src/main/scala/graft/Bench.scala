@@ -121,7 +121,12 @@ object Bench {
     // tell "ran clean" from "gave up waiting"). Entry is the one moment
     // the 1-min loadavg reflects ONLY the host: after SparkSession
     // creation our own heap pre-touch dominates it.
-    val settleMax = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "300").toDouble
+    // dev-subset runs (SPARK_GRAFT_ONLY) write BENCH_DEV.json and never
+    // touch the baselines the gate protects — don't stall an iterating
+    // developer on a busy host
+    val settleMax =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "300").toDouble
     val settleLoad = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "2.0").toDouble
     val settleT0 = System.nanoTime()
     var loadPreWarm = loadEntry

@@ -192,15 +192,7 @@ object GraftFunctions {
     }
     ifAbsent(winnowName) {
       registry.createOrReplaceTempFunction(
-        winnowName, exprs => {
-          def litInt(e: Expression, what: String): Int = e match {
-            case l if l.foldable => l.eval().asInstanceOf[Int]
-            case other => throw new IllegalArgumentException(
-              s"$winnowName $what must be an int literal, got $other")
-          }
-          WinnowFingerprints(exprs(0),
-            litInt(exprs(1), "k"), litInt(exprs(2), "w"))
-        }, "built-in")
+        winnowName, winnowBuilder, "built-in")
     }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
@@ -248,6 +240,24 @@ object GraftFunctions {
   def winnowFingerprints(tokens: Column, k: Int, w: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(winnowName, tokens, lit(k), lit(w))
+  }
+
+  /** The one expression builder both deployment paths (temp-function
+    * registry and [[GraftExtensions]] injection) share — duplicated
+    * copies drifted once already. Accepts any foldable INTEGRAL literal
+    * for k/w (SQL integer literals can arrive as int or long) and fails
+    * with a named-argument error, not a ClassCastException. */
+  private[functions] def winnowBuilder(exprs: Seq[Expression]): Expression = {
+    def litInt(e: Expression, what: String): Int = {
+      val v = if (e.foldable) e.eval() else null
+      v match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+        case _ => throw new IllegalArgumentException(
+          s"$winnowName $what must be an int literal, got $e")
+      }
+    }
+    WinnowFingerprints(exprs(0), litInt(exprs(1), "k"), litInt(exprs(2), "w"))
   }
 
   /** MinHash signature aggregate over a token column → array<long>. */

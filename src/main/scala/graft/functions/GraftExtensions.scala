@@ -73,15 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minimal 60-bit md5 k-gram hash (rightmost on ties), one fused " +
           "O(G) deque pass per document",
         "", "", "", "", "", "", "built-in"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            what: String): Int = e match {
-          case l if l.foldable => l.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"${GraftFunctions.winnowName} $what must be an int literal, got $other")
-        }
-        WinnowFingerprints(exprs(0),
-          litInt(exprs(1), "k"), litInt(exprs(2), "w"))
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.winnowBuilder(exprs)))
   }
 }

@@ -79,9 +79,18 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (i < g) {
       md.reset()
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(tokens.getUTF8String(i + j).getBytes)
+        // null elements are skipped WITH their separator — concat_ws
+        // semantics, so the fused hash matches the composed/oracle form
+        // on arrays containing nulls (split() never produces them, but
+        // the SQL-exposed function accepts any array<string>)
+        val tok = tokens.getUTF8String(i + j)
+        if (tok != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(tok.getBytes)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()

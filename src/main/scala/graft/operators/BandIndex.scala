@@ -113,11 +113,12 @@ object BandIndex {
       mode = "overwrite", batchId = NoBatch)
 
   /** Session memo for [[ensure]]: name → (corpus file fingerprint, plan
-    * semantic hash) already verified this session, so repeat ensure
-    * calls (every gate execution) are a pure driver-side check. */
+    * semantic hash, numHashes, bands, buckets) already verified this
+    * session, so repeat ensure calls (every gate execution) are a pure
+    * driver-side check. */
   private val ensureMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, (Long, Int)]]()
+      scala.collection.concurrent.TrieMap[String, (Long, Int, Int, Int, Int)]]()
 
   /** Idempotent [[build]]: (re)builds the persisted index iff it is
     * absent or its recorded provenance — corpus FILE fingerprint
@@ -145,12 +146,18 @@ object BandIndex {
       val existing = ensureMemo.get(spark)
       if (existing != null) existing
       else {
-        val m = scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+        val m = scala.collection.concurrent.TrieMap
+          .empty[String, (Long, Int, Int, Int, Int)]
         ensureMemo.put(spark, m)
         m
       }
     }
-    if (memo.get(name).contains((fp, sem))) return
+    // the memo value carries the SKETCH PARAMETERS too: a same-session
+    // ensure under the same name with different (numHashes, bands,
+    // buckets) must fall through to the meta check and rebuild — band
+    // hashes from mismatched sketch params never line up, so serving the
+    // old index would silently return empty/wrong matches
+    if (memo.get(name).contains((fp, sem, numHashes, bands, buckets))) return
     val metaName = s"${name}_meta"
     val recorded: Option[(Long, Int, Int, Int, Int)] =
       if (!spark.catalog.tableExists(metaName)) None
@@ -166,7 +173,7 @@ object BandIndex {
         .toDF("fp", "sem", "num_hashes", "bands", "buckets")
         .write.mode("overwrite").saveAsTable(metaName)
     }
-    memo.put(name, (fp, sem))
+    memo.put(name, (fp, sem, numHashes, bands, buckets))
   }
 
   /** Incremental index maintenance: sketch ONLY `batch` and append its

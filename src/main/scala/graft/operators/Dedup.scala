@@ -1267,6 +1267,12 @@ object Dedup {
     * emit fresh UUID part-file names per commit, so any rewrite misses
     * the memo and rebuilds (BloomSpec pins this: rewrite → re-read →
     * fresh verdicts). */
+  /** Sessions already warned that their bloom corpus has no
+    * fingerprintable leaf (weak: entries die with the session). */
+  private val bloomNoFingerprintWarned =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   private val bloomBitmapCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[(Int, Long, String, Int, Int), Map[Long, Long]]]()
@@ -1322,10 +1328,13 @@ object Dedup {
         // fingerprint cannot witness a rewrite, so a memo keyed on the
         // plan alone could serve a stale bitmap whose false NEGATIVES
         // route past the exact verification join. Build fresh every
-        // call — correctness over amortization — and say so once.
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "bloom memo disabled: corpus plan has no file-backed leaf to " +
-            "fingerprint; rebuilding the bitmap on every call")
+        // call — correctness over amortization — and say so once per
+        // session (a per-micro-batch caller would otherwise get one
+        // identical WARN per trigger).
+        if (Dedup.bloomNoFingerprintWarned.add(spark))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "bloom memo disabled: corpus plan has no file-backed leaf to " +
+              "fingerprint; rebuilding the bitmap on every call")
         buildWords()
     }
     val denseArr = new Array[Long](mBits / 64)

@@ -232,6 +232,30 @@ object TotalOrder {
       }
     }
 
+  /** Bucket id of `img` against the broadcast `_bnds` array: count of
+    * boundaries strictly below the value, as a static binary-search
+    * when-tree (log2(nb) codegen'd comparisons per row — an `aggregate`
+    * fold over _bnds evaluates its lambda interpreted, measured 2.2x on
+    * the per-pass cost at 15M rows). Monotone non-decreasing in the
+    * total order, so bucket i < bucket i+1 holds. Upper-bound search is
+    * duplicate-safe: at each node, if img > bnds[mid+1] then every
+    * boundary at index <= mid+1 is < img (sorted), so the count is
+    * >= mid+1; otherwise none above mid is. A null img fails every
+    * comparison and descends to bucket 0 — the same place the range
+    * path puts null-first keys. Shared by the shared-exchange and
+    * bounded-prune bucketing paths (the subtle tie-safety argument must
+    * live exactly once). */
+  private def bucketIdFor(img: Column, nb: Int): Column = {
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(img > element_at(col("_bnds"), mid + 1), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    search(0, nb - 1)
+  }
+
   /** Ordered-numeric path: deterministic quantile-boundary bucketing.
     * The one-row boundary frame is the ONLY materialized state — served
     * from [[boundaryCache]] after the session's first sketch pass. */
@@ -247,25 +271,6 @@ object TotalOrder {
     // both branches read ONE boundary draw and repeat consumers pay zero
     // input I/O (tier order in [[boundariesFrame]])
     val bnds = boundariesFrame(df, img, nb, probs)
-    // bucket id = count of boundaries strictly below the value: monotone
-    // non-decreasing in the total order, so bucket i < bucket i+1 holds.
-    // Computed as a static binary-search when-tree (log2(nb) codegen'd
-    // comparisons per row) rather than an `aggregate` fold over _bnds: a
-    // higher-order array function evaluates its lambda interpreted, and
-    // this expression runs once per input row in BOTH the totals branch
-    // and the data branch — measured 2.2x on the per-pass cost at 15M
-    // rows. Upper-bound search is duplicate-safe: at each node, if
-    // img > bnds[mid+1] then every boundary at index <= mid+1 is < img
-    // (sorted), so the count is >= mid+1; otherwise none above mid is.
-    // A null img fails every comparison and descends to bucket 0 — the
-    // same place the range path puts null-first keys.
-    def search(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(img > element_at(col("_bnds"), mid + 1), search(mid + 1, hi))
-          .otherwise(search(lo, mid))
-      }
     // One explicit slim exchange on _pid, SHARED by the totals branch and
     // the data branch via ReuseExchange: without it each branch re-runs
     // the full input projection (for the token gates that is a per-doc
@@ -275,7 +280,7 @@ object TotalOrder {
     // appears, and the totals aggregation runs in place on the shuffled
     // slim rows.
     val bucketed = df.crossJoin(broadcast(bnds))
-      .withColumn("_pid", search(0, nb - 1))
+      .withColumn("_pid", bucketIdFor(img, nb))
       .drop("_bnds")
       .repartition(col("_pid"))
     val totals = bucketed.groupBy(col("_pid")).agg(sum(weight).as("_ptot"))
@@ -296,7 +301,16 @@ object TotalOrder {
     * the right trade exactly when the projection is cheap relative to
     * shuffling the corpus, which unit-weight row numbering is; weighted
     * cum-sums (whose projection is a per-doc tokenize) keep the shared
-    * exchange and filter after. */
+    * exchange and filter after.
+    *
+    * PRECONDITION the shared-exchange path does not have: because the
+    * two branches scan `df` independently, the input plan must be
+    * DETERMINISTIC (no rand()/sample()/unordered limit upstream) — a
+    * plan that realizes different rows per scan would count one
+    * realization and number another. The same class of requirement as
+    * the operator's existing total-order contract on `orderCol`; the
+    * unbounded path additionally tolerates non-deterministic inputs
+    * only because its branches share one exchange. */
   private def boundedCountPrefixOffsets(df: DataFrame, img: Column,
       bound: Long): DataFrame = {
     val spark = df.sparkSession
@@ -305,15 +319,8 @@ object TotalOrder {
       return df.withColumn("_pid", lit(0)).withColumn("_prefix", lit(0L))
     val probs = (1 until nb).map(i => lit(i.toDouble / nb))
     val bnds = boundariesFrame(df, img, nb, probs)
-    def search(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(img > element_at(col("_bnds"), mid + 1), search(mid + 1, hi))
-          .otherwise(search(lo, mid))
-      }
     def bucketed = df.crossJoin(broadcast(bnds))
-      .withColumn("_pid", search(0, nb - 1))
+      .withColumn("_pid", bucketIdFor(img, nb))
       .drop("_bnds")
     val totals = bucketed.groupBy(col("_pid")).agg(count(lit(1)).as("_ptot"))
     bucketed.join(broadcast(prefixOf(totals)), Seq("_pid"))
@@ -405,7 +412,13 @@ object TotalOrder {
     * from the totals branch over ALL buckets) plus an intra-bucket term
     * over the bucket's own rows, also untouched. TokenBudgetPeek
     * measured the unpruned window + downstream materialization as the
-    * dominant term of the budget gate at 10× bench sf. */
+    * dominant term of the budget gate at 10× bench sf.
+    *
+    * PRECONDITION: `valueCol` must be NON-NEGATIVE when `upperBound` is
+    * set — the prune reasons "prefix already past the bound ⇒ every
+    * later running sum is too", which negative values (signed
+    * deltas/adjustments) break by bringing the sum back under the
+    * bound. Token/row counts satisfy it; pass None for signed values. */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
       out: String, inclusive: Boolean, upperBound: Option[Long]): DataFrame = {
     val upper = if (inclusive) 0L else -1L

@@ -76,6 +76,44 @@ class WinnowFingerprintsSpec extends SparkSpec {
     assert(dupes === 0L)
   }
 
+  test("null token elements hash like concat_ws (skipped with separator)") {
+    // split() never emits nulls, but the SQL-exposed function accepts any
+    // array<string>; nulls must vanish exactly as concat_ws drops them so
+    // the fused hash stays replayable by the composed/oracle form
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT s.fp FROM (SELECT explode(graft_winnow_fingerprints(
+        |  array('a', CAST(NULL AS string), 'b'), 3, 1)) AS s)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val expect = spark.sql(
+      """SELECT CAST(conv(substring(md5(concat_ws(' ', 'a', CAST(NULL AS string), 'b')),
+        |  1, 15), 16, 10) AS BIGINT) AS h""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got === Seq(expect))
+  }
+
+  test("k/w literals accept int and long; non-integral fails with a named error") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = mkDf(schema, Seq(Row(1L, "a b c d e")))
+    df.createOrReplaceTempView("winnow_lit_docs")
+    val asLong = cells(spark.sql(
+      """SELECT s.pos, s.fp FROM winnow_lit_docs
+        |LATERAL VIEW explode(graft_winnow_fingerprints(
+        |  split(text, ' '), CAST(2 AS BIGINT), CAST(3 AS BIGINT))) t AS s""".stripMargin))
+    val asInt = cells(spark.sql(
+      """SELECT s.pos, s.fp FROM winnow_lit_docs
+        |LATERAL VIEW explode(graft_winnow_fingerprints(
+        |  split(text, ' '), 2, 3)) t AS s""".stripMargin))
+    assert(asLong === asInt)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_winnow_fingerprints(split(text, ' '), 2.5, 3)
+          |FROM winnow_lit_docs""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("must be an int literal")
+      || Option(e.getCause).exists(_.getMessage.contains("must be an int literal")))
+  }
+
   test("kernel survives both eval and codegen paths") {
     // an aggregation above the expression forces an eval boundary;
     // the plain projection path runs through whole-stage codegen

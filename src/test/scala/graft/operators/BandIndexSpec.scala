@@ -130,4 +130,23 @@ class BandIndexSpec extends SparkSpec {
     assert(rows(BandIndex.matches(probe, "doc_id", "text",
       64, 16, 0.8, "aidx")) === expected)
   }
+
+  test("ensure rebuilds when the sketch parameters change under the same name") {
+    val corpus = docs.filter(col("doc_id") < 60)
+    BandIndex.ensure(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, buckets = 4, name = "pidx")
+    val v1 = BandIndex.physicalTable(spark, "pidx_bands")
+    // same session, same name, DIFFERENT params: the memo must not
+    // short-circuit (mismatched band hashes would silently match nothing)
+    BandIndex.ensure(corpus, "doc_id", "text",
+      numHashes = 32, bands = 8, buckets = 4, name = "pidx")
+    val v2 = BandIndex.physicalTable(spark, "pidx_bands")
+    assert(v1 !== v2, "param change must version-bump the physical index")
+    // each band row now hashes 32/8 = 4 signature slots
+    assert(spark.table("pidx_bands").select("band_idx").distinct().count() === 8L)
+    // unchanged params are a no-op (no further version bump)
+    BandIndex.ensure(corpus, "doc_id", "text",
+      numHashes = 32, bands = 8, buckets = 4, name = "pidx")
+    assert(BandIndex.physicalTable(spark, "pidx_bands") === v2)
+  }
 }
