@@ -337,6 +337,48 @@ class PlanAuditSpec extends SparkSpec {
       "incremental candidates must come from equi-joins:\n" + plan.take(3000))
   }
 
+  test("txt_winnowing: fused kernel plan — one exchange, no sort-agg, no window") {
+    // the r11 WinnowFingerprints shape: scan → byDoc exchange → project
+    // (kernel) → explode. The composed form's w-fold explode, struct-min
+    // SortAggregate, and corpus-wide distinct must all be gone.
+    val plan = physicalPlan("txt_winnowing")
+    assert(plan.contains("graft_winnow_fingerprints")
+        || plan.contains("WinnowFingerprints")
+        || plan.contains("winnow"),
+      "fused kernel missing from the plan:\n" + plan.take(3000))
+    assert(!plan.contains("SortAggregate"),
+      "struct-min sort aggregate crept back in:\n" + plan.take(3000))
+    // the only exchanges allowed: the byDoc repartition and the gate's
+    // own orderBy range exchange. AQE renders the initial plan after the
+    // final one — count within the final plan only.
+    val finalPlan = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(finalPlan).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly the byDoc hash exchange, got $exchanges:\n" +
+        plan.take(3000))
+  }
+
+  test("etl_surrogate_keys: bounded numbering prunes before the data exchange") {
+    // r11 bounded row numbering: the _prefix bound filter must sit BELOW
+    // the _pid exchange (only surviving-bucket rows are shuffled for the
+    // window), and the LIMIT must execute as TakeOrderedAndProject
+    val plan = physicalPlan("etl_surrogate_keys")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning(_pid")
+    val filterAt = "Filter .*_prefix".r.findFirstMatchIn(plan).map(_.start)
+      .getOrElse(fail("no _prefix bound filter in plan:\n" + plan.take(3000)))
+    assert(exchangeAt >= 0, "no _pid exchange:\n" + plan.take(3000))
+    // plan strings render parent-first: the exchange (parent) must
+    // appear before the filter it consumes
+    assert(exchangeAt < filterAt,
+      "bound filter must be below (a child of) the _pid exchange:\n" +
+        plan.take(3000))
+  }
+
   test("transform stage: dim builders prune source scans to used columns") {
     val address = graft.etl.Schemas.address
     val df = spark.createDataFrame(
