@@ -287,15 +287,64 @@ object Similarity {
     * Centroid selection is a top-k (TakeOrdered) over one corpus scan —
     * no global sort. */
   def ivfTopKPortable(queries: DataFrame, candidates: DataFrame,
-      numCentroids: Int, k: Int, nProbe: Int): DataFrame = {
-    val centroids = candidates
+      numCentroids: Int, k: Int, nProbe: Int): DataFrame =
+    ivfFromCentroids(queries, candidates,
+      portableCentroids(candidates, numCentroids), k, nProbe)
+
+  /** The engine-portable centroid sample shared by [[ivfTopKPortable]]
+    * and [[semDedup]]'s oracle-checked gate: the `numCentroids` vectors
+    * with the lowest 60-bit md5 hash of their id — a uniform
+    * deterministic sample any SQL engine replays. Centroid_id tie-break:
+    * a 60-bit hash collision (or engine-order instability at the limit
+    * boundary) must not flip the sampled set. Selection is a top-k
+    * (TakeOrdered) over one corpus scan — no global sort. */
+  def portableCentroids(vectors: DataFrame, numCentroids: Int): DataFrame =
+    vectors
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
       .withColumn("h", Sampling.hash60(col("centroid_id").cast("string")))
-      // centroid_id tie-break: a 60-bit hash collision (or engine-order
-      // instability at the limit boundary) must not flip the sampled set
       .orderBy(col("h"), col("centroid_id")).limit(numCentroids)
       .drop("h")
-    ivfFromCentroids(queries, candidates, centroids, k, nProbe)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * corpus scale by CLUSTER-BUCKETING the pairwise-cosine search.
+    * Assign every vector to its nearest centroid (one broadcast pass,
+    * same E-step as [[clusterAssign]]/IVF), build the pairwise cosine
+    * upper triangle WITHIN each cluster only, and drop any vector whose
+    * similarity to a lower-id cluster-mate reaches `tau` — the paper's
+    * upper-triangular keep rule (drop row i if any sim(i, j) ≥ tau with
+    * j earlier), with vector id as the deterministic ordering.
+    *
+    * This is the scale path the brute-force pair gate
+    * (dedup_embedding_cosine) points at: candidate generation is a
+    * cluster equi-join, never the corpus cross join — O(n²) falls to
+    * Σ|cluster|² ≈ n²/C for C centroids, and C is the knob that keeps
+    * per-cluster work bounded as the corpus grows (the paper runs
+    * C ≈ n/kilodoc). Shuffle budget: one exchange of the slim
+    * (id, emb, cell) frame on `cell` feeding both join sides, one
+    * id-distinct for the drop set, one left-anti-shaped flag join.
+    *
+    * Returns (vec_id, cluster, kept) for every input vector — the keep
+    * decision plus the assignment that produced it, so one output
+    * hash-checks both stages. */
+  def semDedup(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, tau: Double): DataFrame = {
+    // materialized once (CacheOnce, harness-scoped lifecycle): the
+    // assignment frame feeds three consumers (both pair-join sides + the
+    // keep-flag join) — without it each would re-run the E-step corpus
+    // pass and its scan
+    val cells = CacheOnce(assignCells(
+      vectors.select(col(idCol), col(embCol)), idCol, embCol, centroids,
+      keep = 1))
+    val a = cells.select(col("cell"), col(idCol).as("id1"), col(embCol).as("e1"))
+    val b = cells.select(col("cell"), col(idCol).as("id2"), col(embCol).as("e2"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2") &&
+        cosine(col("e1"), col("e2")) >= tau)
+      .select(col("id2").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    cells.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell").as("cluster"),
+        col("is_dup").isNull.as("kept"))
   }
 
   /** The IVF dataflow shared by every centroid-init flavor: assign each

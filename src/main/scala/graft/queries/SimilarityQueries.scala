@@ -276,6 +276,24 @@ object SimilarityQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- SemDeDup (Abbas et al. 2023): cluster-bucketed semantic dedup —
+    // the SCALE path for the brute-force pair gate above. Nearest-centroid
+    // assignment over the portable md5-sampled centroid frame (same
+    // quantizer as sim_ann_ivf_fixed), pairwise cosine WITHIN clusters
+    // only, upper-triangular drop rule at tau. Output is one row per
+    // vector (assignment + keep decision), so the hash covers both
+    // stages; cluster sizes measured at the gate's params: ≤41 of 500
+    // at sf0.01, drop count 150 — both the keep and drop branches carry
+    // data at every test sf.
+    GQuery(
+      "dedup_semantic",
+      semDedupOracle(numCentroids = 16, tau = 0.3)) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding",
+          Similarity.portableCentroids(emb, 16), tau = 0.3)
+        .orderBy("vec_id")
+    },
+
     // ---- Multimodal blob metadata (no decode needed; oracle-checked).
     GQuery(
       "mm_blob_meta",
@@ -332,6 +350,34 @@ object SimilarityQueries {
         .orderBy("doc_id", "frame_idx")
     }
   )
+
+  /** DuckDB replay of [[Similarity.semDedup]] over the portable
+    * md5-sampled centroid frame: the same assignment CTE as
+    * sim_ann_ivf_fixed (row_number over cosine DESC, centroid_id), then
+    * the within-cluster upper triangle and the lower-id drop rule. */
+  private def semDedupOracle(numCentroids: Int, tau: Double): String =
+    s"""WITH ranked AS (
+       |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings
+       |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |    vec_id
+       |  LIMIT $numCentroids),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ca AS (
+       |  SELECT v.vec_id, v.e, r.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(e, ce) DESC, centroid_id) AS crn
+       |  FROM v CROSS JOIN ranked r),
+       |cells AS (SELECT vec_id, e, centroid_id AS cluster
+       |          FROM ca WHERE crn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= $tau)
+       |SELECT c.vec_id, c.cluster, (d.vec_id IS NULL) AS kept
+       |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
 
   /** DuckDB replay of [[Similarity.annTopK]]: literal hyperplanes give the
     * bucket ids, a literal mask list gives the multi-probe expansion

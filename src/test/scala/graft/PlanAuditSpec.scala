@@ -165,6 +165,23 @@ class PlanAuditSpec extends SparkSpec {
       "per-doc token-array table must not carry a broadcast hint:\n" + plan.take(3000))
   }
 
+  test("dedup_semantic: within-cluster pairs from a cell equi-join (100 TB guard)") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val plan = planWithBroadcastDisabled(
+      graft.operators.Similarity.semDedup(emb, "vec_id", "embedding",
+        graft.operators.Similarity.portableCentroids(emb, 16), tau = 0.3))
+    // the ONLY nested-loop allowed is the bounded centroid assign; the
+    // corpus-sized pair generation must be an equi-join on the cell id
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "pair generation must shuffle on cell, not broadcast the corpus:\n" +
+        plan.take(3000))
+    // the assignment frame is materialized once (CacheOnce) — its three
+    // consumers must read the cache, not re-run the E-step corpus pass
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "cells frame must be cached, not recomputed per consumer:\n" +
+        plan.take(3000))
+  }
+
   test("q05 customer join is not forced-broadcast (100 TB guard)") {
     val q = SparkEntry.allQueries.find(_.name == "q05_top_customers").get
     val plan = planWithBroadcastDisabled(q.run(spark, dir))
@@ -194,6 +211,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_cosine_topk", "sim_quantized_topk", // broadcast query set × one corpus scan
       "sim_ann_ivf", "sim_ann_ivf_fixed", "dedup_embedding_cosine",
       "emb_cluster_assign", // bounded (8-row) centroid cross join
+      "dedup_semantic", // bounded (16-row) centroid cross join; pair join is equi
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins

@@ -385,6 +385,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semDedup: cluster-bucketed keep set equals the brute-force rule") {
+    val tau = 0.3
+    val centroids = Similarity.portableCentroids(emb, 16)
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", centroids, tau)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == emb.count())
+
+    // reference: same assignment via the independent clusterAssign window,
+    // then the upper-triangular drop rule computed driver-side
+    val assign = Similarity.clusterAssign(emb, "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = vecs.keys.groupBy(assign)
+    val refDropped = byCluster.values.flatMap { ids =>
+      val sorted = ids.toSeq.sorted
+      sorted.filter(x => sorted.exists(y =>
+        y < x && cos(vecs(y), vecs(x)) >= tau))
+    }.toSet
+
+    assert(out.forall { case (id, (cl, _)) => assign(id) == cl },
+      "assignment disagrees with clusterAssign")
+    val dropped = out.collect { case (id, (_, false)) => id }.toSet
+    assert(dropped == refDropped,
+      s"drop sets differ: extra=${dropped -- refDropped}, missing=${refDropped -- dropped}")
+    // both branches must carry data at the gate's params on this corpus
+    assert(dropped.nonEmpty && dropped.size < out.size)
+  }
+
   test("ANN (LSH multi-probe) recall@5 vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, 5)
