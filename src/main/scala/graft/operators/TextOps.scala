@@ -40,6 +40,64 @@ object TextOps {
         / chars, 4).as("punct_ratio"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+    * published heuristic filter set a pretraining pipeline applies before
+    * dedup: word-count bounds [50, 100k], mean word length [3, 10],
+    * symbol-to-word ratio (# and …) ≤ 0.1, ≤ 90% of lines bullet-started,
+    * ≤ 30% of lines ellipsis-ended, ≥ 80% of words containing a letter,
+    * and ≥ 2 distinct stopwords present (`requiredStops`; default the
+    * paper's list — pass a corpus-appropriate list when the vocabulary
+    * differs). Emits the per-rule metrics plus the conjunction
+    * (`gopher_pass`), so downstream can filter on the flag or re-weight
+    * on the metrics. Pure per-row column algebra: no UDFs, no shuffle,
+    * prunes to the text column.
+    *
+    * The pass flag compares UNROUNDED ratios: every operand is a small
+    * exact integer, so the quotients are bit-identical across engines —
+    * the rounded twins are for output only. */
+  def gopherColumns(text: Column,
+      requiredStops: Seq[String] = Seq(
+        "the", "be", "to", "of", "and", "that", "have", "with")): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val meanWordLen =
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
+    val hashCount = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val ellipsisCount =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") / n
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletRatio = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isInCollection(Seq("-", "*", "•"))))
+      .cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / nLines
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
+    val nStops = size(filter(
+      array(requiredStops.map(lit): _*), w => array_contains(toks, w)))
+      .cast("long")
+    Seq(
+      size(toks).cast("long").as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_line_ratio"),
+      round(ellipsisLineRatio, 4).as("ellipsis_line_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      nStops.as("n_stopwords"),
+      (size(toks).between(50, 100000) &&
+        meanWordLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisLineRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        nStops >= 2).as("gopher_pass"))
+  }
+
   /** Content fingerprint: md5 of the raw bytes (stable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -41,6 +41,57 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the published
+    // pretraining document filter — per-rule metrics + the pass
+    // conjunction. The required-stopword list is the corpus-appropriate
+    // ('the', 'a') (the synthetic vocabulary contains no other Gopher
+    // stopword — measured: the paper's own list passes 0 of 500 docs);
+    // the operator defaults to the paper's list. Both pass branches
+    // carry data at every sf (277/500 clear the 50-word floor at sf0.01).
+    GQuery(
+      "txt_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / len(toks) AS mwl,
+        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |      + (length(text) - length(replace(text, '...', ''))) / 3)
+        |      / len(toks) AS sym,
+        |    CAST(len(list_filter(lines,
+        |        l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |      / len(lines) AS bul,
+        |    CAST(len(list_filter(lines,
+        |        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+        |      AS DOUBLE) / len(lines) AS ell,
+        |    CAST(len(list_filter(toks,
+        |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(toks) AS alpha,
+        |    CAST(len(list_filter(['the', 'a'],
+        |        w -> list_contains(toks, w))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(sym, 4) AS symbol_ratio,
+        |  round(bul, 4) AS bullet_line_ratio,
+        |  round(ell, 4) AS ellipsis_line_ratio,
+        |  round(alpha, 4) AS alpha_word_ratio,
+        |  n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+        |    AND n_stopwords >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++
+          TextOps.gopherColumns(col("text"), Seq("the", "a")): _*)
+        .orderBy("doc_id")
+    },
+
     // ---- Document fingerprinting: content md5 (cross-engine stable).
     GQuery(
       "txt_fingerprint",

@@ -385,6 +385,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each rule flips the pass flag at its boundary") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val w50 = (1 to 48).map(i => s"word$i").mkString(" ") // 48 filler words
+    val docsRows = Seq(
+      Row(1L, s"the a $w50"),                       // 50 words, all rules pass
+      Row(2L, "the a short doc"),                   // < 50 words
+      Row(3L, s"the a ${"#### " * 48}".trim),       // symbol ratio ≈ 4× words
+      Row(4L, ("- the a bullet line\n" * 20).trim), // 100% bullet lines
+      Row(5L, ("the a trailing line...\n" * 20).trim), // 100% ellipsis lines
+      Row(6L, s"the a ${(1 to 48).map(_.toString).mkString(" ")}"), // digits
+      Row(7L, w50 + " more words"),                 // no required stopwords
+      Row(8L, s"the a ${(1 to 48).map(i => "x" * 20 + i).mkString(" ")}")) // mwl > 10
+    val df = mkDf(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))),
+      docsRows)
+    val out = df.select(Seq(col("doc_id")) ++
+        TextOps.gopherColumns(col("text"), Seq("the", "a")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("gopher_pass"), r.getAs[Long]("n_words"))).toMap
+    assert(out(1L)._1, s"baseline doc must pass: ${out(1L)}")
+    for (id <- 2L to 8L)
+      assert(!out(id)._1, s"doc $id must fail its targeted rule")
+    // spot-check the targeted metric actually drove each failure
+    val m = df.select(Seq(col("doc_id")) ++
+        TextOps.gopherColumns(col("text"), Seq("the", "a")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(2L).getAs[Long]("n_words") < 50)
+    assert(m(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(m(4L).getAs[Double]("bullet_line_ratio") > 0.9)
+    assert(m(5L).getAs[Double]("ellipsis_line_ratio") > 0.3)
+    assert(m(6L).getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(m(7L).getAs[Long]("n_stopwords") < 2)
+    assert(m(8L).getAs[Double]("mean_word_len") > 10.0)
+  }
+
   test("semDedup: cluster-bucketed keep set equals the brute-force rule") {
     val tau = 0.3
     val centroids = Similarity.portableCentroids(emb, 16)
