@@ -323,6 +323,98 @@ object TextOps {
         round(avg(col("lp")), 4).as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM score ([[lmScore]]; higher = more fluent) and
+    * split the corpus into `k` quality tiers — head/middle/tail for the
+    * canonical k = 3 — the standard pretraining-data triage step between
+    * scoring and sampling.
+    *
+    * Scale shape: the global rank comes from [[TotalOrder.globalRowNumber]]
+    * (range partition + per-partition window), NEVER a corpus-wide
+    * `ntile` window — the single-partition sort that would be. Tier
+    * boundaries then follow from the rank and the total count (one
+    * broadcast scalar) with the exact SQL NTILE convention (first
+    * `n mod k` tiers one row larger), so a SQL engine's
+    * `ntile(k) OVER (ORDER BY score DESC, id)` replays the assignment
+    * row for row.
+    *
+    * The rank key is the ROUNDED score (ties broken by id): the rounded
+    * value is the cross-engine-stable one — ranking on the raw double
+    * would let a last-ulp summation difference flip a tier boundary.
+    * Docs with no bigrams (score null, only possible for one-token docs)
+    * sort last, matching SQL's NULLS LAST under DESC. */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // feeds the count scalar AND the ranked output — materialize once
+    val scored = CacheOnce(lmScore(df, idCol, textCol))
+    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
+    val pad = lpad(col("doc_id").cast("string"), 12, "0")
+    // fixed-width decimal of the NEGATED score: scores are strictly
+    // negative (log of a proper fraction), so -score ∈ (0, ∞) and the
+    // zero-padded rendering sorts lexicographically = score descending;
+    // '~' (0x7e) sorts after every digit = NULLS LAST
+    val key = when(col("lm_score").isNull, concat(lit("~|"), pad))
+      .otherwise(concat(
+        format_string("%012.6f", -col("lm_score")), lit("|"), pad))
+    val ranked = TotalOrder.globalRowNumber(
+      scored.withColumn("_k", key), "_k", "_rank")
+    val q = floor(col("n_docs") / lit(k)).cast("long")
+    val rem = (col("n_docs") % lit(k)).cast("long")
+    val thresh = rem * (q + lit(1L))
+    val bucket = when(col("_rank") <= thresh,
+        ceil(col("_rank") / (q + lit(1L)).cast("double")))
+      .otherwise(rem + ceil((col("_rank") - thresh) / q.cast("double")))
+    ranked.crossJoin(broadcast(nDocs)) // 1 row — scalar-subquery pattern
+      .select(col("doc_id"), col("lm_score"),
+        bucket.cast("long").as("bucket"))
+  }
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf
+    * variant ln(1 + (N − df + 0.5)/(df + 0.5))) of the top `topK` docs
+    * for a FIXED query term set — the retrieval primitive behind
+    * decontamination-by-retrieval and eval-set leakage checks.
+    *
+    * Scale shape: because the query is a small literal set, the corpus
+    * statistics (N, avgdl, one df per term) collapse into ONE 1-row
+    * aggregation, broadcast back; per-doc tf is `size(filter(tokens))`
+    * column algebra — so the whole scorer is two corpus passes with no
+    * data shuffle at all, and the top-k is a TakeOrdered, not a sort.
+    * An inverted-index join would win for ad-hoc many-term queries;
+    * for the fixed-query scan this shape is strictly cheaper.
+    *
+    * Determinism: k1/b default to binary-exact constants (1.5, 0.75 —
+    * 2.5, 0.25 and every derived literal are exact doubles), the score
+    * expression tree mirrors the SQL oracle's association order, and
+    * the top-k cuts on the ROUNDED score with doc_id ties — the same
+    * cross-engine-stable ranking rule as [[pplBuckets]]. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val perDoc = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+      .withColumn("dl", size(col("t")).cast("double"))
+    val statAggs =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("t"))).as("avgdl")) ++
+      queryTerms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(col("t"), term), 1L).otherwise(0L))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val score = queryTerms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("t"), x => x === term)).cast("double")
+      val dfT = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats)) // 1 row — scalar-subquery pattern
+      .select(col("doc_id"), (round(score, 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+  }
+
   /** Per-(doc, term) TF-IDF over raw token occurrences: tf = term count in
     * the doc, idf = ln(N / df) with df = number of docs containing the
     * term (no smoothing — every scored term occurs somewhere, so df >= 1).

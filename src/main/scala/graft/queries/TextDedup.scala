@@ -922,6 +922,93 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- CCNet head/middle/tail tiers (Wenzek et al. 2020): terciles of
+    // the LM score via TotalOrder's global rank + the exact NTILE
+    // convention — the oracle's corpus-wide ntile window replays the
+    // distributed rank row for row. The rank key is the rounded score
+    // (the cross-engine-stable value), ties by doc_id.
+    GQuery(
+      "txt_ppl_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2),
+        |cc AS (SELECT w1, count(*) AS ctx FROM big GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(t) AS w FROM toks)),
+        |scored AS (
+        |  SELECT b.doc_id, ln((cb.cnt + 1.0) / (cc.ctx + v.vs)) AS lp
+        |  FROM big b
+        |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  JOIN cc ON b.w1 = cc.w1
+        |  CROSS JOIN v),
+        |s AS (
+        |  SELECT d.doc_id, round(avg(sc.lp), 4) AS lm_score
+        |  FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |r AS (
+        |  SELECT doc_id, lm_score,
+        |    ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS b
+        |  FROM s)
+        |SELECT doc_id, lm_score, CAST(b AS BIGINT) AS bucket,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS tier
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.pplBuckets(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("tier", when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BM25 top-20 for a fixed query (Lucene idf variant, k1 = 1.5,
+    // b = 0.75 — binary-exact constants so both engines compute the same
+    // doubles): the decontamination-by-retrieval primitive. One 1-row
+    // corpus-stats agg + per-row scoring + TakeOrdered — no data shuffle.
+    GQuery(
+      "txt_bm25",
+      """WITH p AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(len(toks)) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'spark')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'customer')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN list_contains(toks, 'the')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM p),
+        |tf AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE) AS tf_2
+        |  FROM p),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        |      * (tf_0 * 2.5) / (tf_0 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        |      * (tf_1 * 2.5) / (tf_1 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        |      * (tf_2 * 2.5) / (tf_2 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+        |      AS score
+        |  FROM tf CROSS JOIN st)
+        |SELECT doc_id, round(score, 4) + 0.0 AS bm25
+        |FROM sc
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "customer", "the"), topK = 20)
+    },
+
     // ---- Per-(doc, term) TF-IDF matrix: tf over raw occurrences, idf =
     // ln(N/df), corpus-wide terms score exactly 0 (ln of an exact 1.0 —
     // bit-stable in both engines).

@@ -215,6 +215,8 @@ class PlanAuditSpec extends SparkSpec {
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
+      "txt_ppl_buckets", // 1-row vocab + n_docs scalar cross joins
+      "txt_bm25", // 1-row corpus-stats scalar cross join
       "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
     // TotalOrder gates get a SCOPED exemption, not a whole-query one: the
     // only admissible nested-loop joins in their plans are (a) the

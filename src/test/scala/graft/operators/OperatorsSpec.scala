@@ -421,6 +421,53 @@ class OperatorsSpec extends SparkSpec {
     assert(m(8L).getAs[Double]("mean_word_len") > 10.0)
   }
 
+  test("bm25: top-k equals the driver-side reference scorer") {
+    val terms = Seq("spark", "customer", "the")
+    val out = TextOps.bm25(docs, "doc_id", "text", terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 20)
+
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val dfs = terms.map(t => t -> corpus.values.count(_.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.size.toDouble
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+      }.reduce(_ + _)
+    }
+    val ref = corpus.toSeq
+      .map { case (id, toks) =>
+        (id, BigDecimal(score(toks)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(out.toSeq == ref,
+      s"top-20 differs:\n  got ${out.toSeq.take(5)}\n  ref ${ref.take(5)}")
+  }
+
+  test("pplBuckets: distributed tiers equal the single-window ntile") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    for (k <- Seq(2, 3, 7)) {
+      val out = TextOps.pplBuckets(docs, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: the single-partition ntile window the operator avoids
+      val ref = TextOps.lmScore(docs, "doc_id", "text")
+        .withColumn("b", ntile(k).over(
+          W.orderBy(col("lm_score").desc_nulls_last, col("doc_id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(3).toLong).toMap
+      assert(out == ref, s"k=$k tier mismatch: " +
+        out.filter { case (id, b) => ref(id) != b }.take(5).toString)
+    }
+    // k larger than the corpus: every doc its own bucket by rank
+    val tiny = docs.filter(col("doc_id") < 4)
+    val solo = TextOps.pplBuckets(tiny, "doc_id", "text", 1000)
+      .collect().map(_.getLong(2)).sorted
+    assert(solo.sameElements(1L to solo.length))
+  }
+
   test("semDedup: cluster-bucketed keep set equals the brute-force rule") {
     val tau = 0.3
     val centroids = Similarity.portableCentroids(emb, 16)
