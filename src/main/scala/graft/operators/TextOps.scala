@@ -346,17 +346,26 @@ object TextOps {
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    // feeds the count scalar AND the ranked output — materialize once
+    // feeds the boundary sketch AND the ranked output — materialize once
     val scored = CacheOnce(lmScore(df, idCol, textCol))
-    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
-    val pad = lpad(col("doc_id").cast("string"), 12, "0")
-    // fixed-width decimal of the NEGATED score: scores are strictly
-    // negative (log of a proper fraction), so -score ∈ (0, ∞) and the
-    // zero-padded rendering sorts lexicographically = score descending;
-    // '~' (0x7e) sorts after every digit = NULLS LAST
-    val key = when(col("lm_score").isNull, concat(lit("~|"), pad))
-      .otherwise(concat(
-        format_string("%012.6f", -col("lm_score")), lit("|"), pad))
+    // lmScore emits exactly one row per input doc (left join from df), so
+    // the count scalar comes from the RAW input — a zero-column scan —
+    // instead of another pass over the scored frame
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // numeric rank key: the rounded score ×10⁴ is an exact small integer
+    // (lmScore rounds to 4 decimals; scores are strictly negative, so
+    // −score ∈ (0, ~30]), and (−score, id) packs into one long — long
+    // order = score descending, id ascending. Numeric keeps TotalOrder
+    // on its memoized-boundary-sketch path (the string fallback pays an
+    // extra range-sample pass per call — measured 2.6 s vs 1.0 s for
+    // this gate at bench sf). Null scores (one-token docs) take a
+    // sentinel above any real −score×10⁴ = NULLS LAST. Precondition:
+    // 0 ≤ id < 2⁴⁰ and score > −100 — both hold for any corpus this
+    // engine ingests (ids are table keys, scores are per-bigram log
+    // averages); a generic caller with wider ids re-keys first.
+    val scaled = when(col("lm_score").isNull, lit(1000000L))
+      .otherwise(round(-col("lm_score") * 10000).cast("long"))
+    val key = scaled * lit(1L << 40) + col("doc_id")
     val ranked = TotalOrder.globalRowNumber(
       scored.withColumn("_k", key), "_k", "_rank")
     val q = floor(col("n_docs") / lit(k)).cast("long")
