@@ -44,7 +44,9 @@ object TextOps {
     * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
     * published heuristic filter set a pretraining pipeline applies before
     * dedup: word-count bounds [50, 100k], mean word length [3, 10],
-    * symbol-to-word ratio (# and …) ≤ 0.1, ≤ 90% of lines bullet-started,
+    * hash-to-word AND ellipsis-to-word ratios ('#'; '...' or '…') each
+    * ≤ 0.1 (the paper cuts on EITHER symbol's ratio separately, not
+    * their sum), ≤ 90% of lines bullet-started,
     * ≤ 30% of lines ellipsis-ended, ≥ 80% of words containing a letter,
     * and ≥ 2 distinct stopwords present (`requiredStops`; default the
     * paper's list — pass a corpus-appropriate list when the vocabulary
@@ -64,10 +66,13 @@ object TextOps {
     val meanWordLen =
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
     val hashCount = (length(text) - length(translate(text, "#", ""))).cast("long")
+    // '...' counted as non-overlapping triples; '…' (U+2026) one per char
     val ellipsisCount =
-      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+      (((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
         .cast("long")
-    val symbolRatio = (hashCount + ellipsisCount).cast("double") / n
+        + (length(text) - length(translate(text, "…", ""))).cast("long"))
+    val hashRatio = hashCount.cast("double") / n
+    val ellipsisRatio = ellipsisCount.cast("double") / n
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
     val bulletRatio = size(filter(lines,
@@ -84,14 +89,16 @@ object TextOps {
     Seq(
       size(toks).cast("long").as("n_words"),
       round(meanWordLen, 4).as("mean_word_len"),
-      round(symbolRatio, 4).as("symbol_ratio"),
+      round(hashRatio, 4).as("hash_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_ratio"),
       round(bulletRatio, 4).as("bullet_line_ratio"),
       round(ellipsisLineRatio, 4).as("ellipsis_line_ratio"),
       round(alphaRatio, 4).as("alpha_word_ratio"),
       nStops.as("n_stopwords"),
       (size(toks).between(50, 100000) &&
         meanWordLen.between(3.0, 10.0) &&
-        symbolRatio <= 0.1 &&
+        hashRatio <= 0.1 &&
+        ellipsisRatio <= 0.1 &&
         bulletRatio <= 0.9 &&
         ellipsisLineRatio <= 0.3 &&
         alphaRatio >= 0.8 &&
@@ -348,10 +355,11 @@ object TextOps {
     require(k >= 1, s"k must be positive, got $k")
     // feeds the boundary sketch AND the ranked output — materialize once
     val scored = CacheOnce(lmScore(df, idCol, textCol))
-    // lmScore emits exactly one row per input doc (left join from df), so
-    // the count scalar comes from the RAW input — a zero-column scan —
-    // instead of another pass over the scored frame
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // lmScore emits one row per DISTINCT id (its groupBy collapses
+    // duplicate ids), so the count scalar is the distinct-id count of the
+    // raw input — one slim two-stage agg, still cheaper than another
+    // pass over the cached score frame, and exact when ids repeat
+    val nDocs = df.agg(count_distinct(col(idCol)).as("n_docs"))
     // numeric rank key: the rounded score ×10⁴ is an exact small integer
     // (lmScore rounds to 4 decimals; scores are strictly negative, so
     // −score ∈ (0, ~30]), and (−score, id) packs into one long — long

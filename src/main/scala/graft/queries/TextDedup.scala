@@ -60,9 +60,12 @@ object TextDedup {
         |    CAST(len(toks) AS BIGINT) AS n_words,
         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
         |      / len(toks) AS mwl,
-        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-        |      + (length(text) - length(replace(text, '...', ''))) / 3)
-        |      / len(toks) AS sym,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |      / len(toks) AS hsh,
+        |    (CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |        AS DOUBLE)
+        |      + (length(text) - length(replace(text, '…', ''))))
+        |      / len(toks) AS ell_sym,
         |    CAST(len(list_filter(lines,
         |        l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
         |      / len(lines) AS bul,
@@ -77,13 +80,15 @@ object TextDedup {
         |  FROM t)
         |SELECT doc_id, n_words,
         |  round(mwl, 4) AS mean_word_len,
-        |  round(sym, 4) AS symbol_ratio,
+        |  round(hsh, 4) AS hash_ratio,
+        |  round(ell_sym, 4) AS ellipsis_ratio,
         |  round(bul, 4) AS bullet_line_ratio,
         |  round(ell, 4) AS ellipsis_line_ratio,
         |  round(alpha, 4) AS alpha_word_ratio,
         |  n_stopwords,
         |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-        |    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+        |    AND hsh <= 0.1 AND ell_sym <= 0.1
+        |    AND bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
         |    AND n_stopwords >= 2) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
@@ -953,7 +958,7 @@ object TextDedup {
         |  GROUP BY d.doc_id),
         |r AS (
         |  SELECT doc_id, lm_score,
-        |    ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS b
+        |    ntile(3) OVER (ORDER BY lm_score DESC NULLS LAST, doc_id) AS b
         |  FROM s)
         |SELECT doc_id, lm_score, CAST(b AS BIGINT) AS bucket,
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END

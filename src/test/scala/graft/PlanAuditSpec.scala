@@ -171,9 +171,14 @@ class PlanAuditSpec extends SparkSpec {
       graft.operators.Similarity.semDedup(emb, "vec_id", "embedding",
         graft.operators.Similarity.portableCentroids(emb, 16), tau = 0.3))
     // the ONLY nested-loop allowed is the bounded centroid assign; the
-    // corpus-sized pair generation must be an equi-join on the cell id
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-      "pair generation must shuffle on cell, not broadcast the corpus:\n" +
+    // corpus-sized pair generation must be an equi-join keyed on the
+    // CELL id specifically (the keep-flag join on vec_id alone must not
+    // satisfy this), and nothing may regress to a cartesian
+    assert(plan.contains("SortMergeJoin [cell")
+        || plan.contains("ShuffledHashJoin [cell"),
+      "pair generation must be an equi-join on cell:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "no corpus-scale cartesian anywhere in the semDedup plan:\n" +
         plan.take(3000))
     // the assignment frame is materialized once (CacheOnce) — its three
     // consumers must read the cache, not re-run the E-step corpus pass
@@ -211,11 +216,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_cosine_topk", "sim_quantized_topk", // broadcast query set × one corpus scan
       "sim_ann_ivf", "sim_ann_ivf_fixed", "dedup_embedding_cosine",
       "emb_cluster_assign", // bounded (8-row) centroid cross join
-      "dedup_semantic", // bounded (16-row) centroid cross join; pair join is equi
       "q25_errors_before_purchase", "q24_asof_error_click",
       "q20_above_avg_balance",
       "txt_lm_score", "txt_tfidf", // 1-row vocab/N scalar cross joins
-      "txt_ppl_buckets", // 1-row vocab + n_docs scalar cross joins
       "txt_bm25", // 1-row corpus-stats scalar cross join
       "dedup_edit_distance") // scoped all-pairs verifier (doc_id < 80)
     // TotalOrder gates get a SCOPED exemption, not a whole-query one: the
@@ -227,7 +230,8 @@ class PlanAuditSpec extends SparkSpec {
     // scalar-subquery pattern, same justification as q20). A future
     // accidental cross join elsewhere in those plans still flags.
     val totalOrderGates = Set("etl_surrogate_keys", "smp_token_budget",
-      "smp_token_shards", "smp_pack_sequences")
+      "smp_token_shards", "smp_pack_sequences",
+      "txt_ppl_buckets") // TotalOrder rank over the cached score frame
     // Bloom gates likewise get a SCOPED exemption: the only admissible
     // nested-loop join is the broadcast of the ONE-ROW bitmap frame
     // (sole output column `bloom`, <= m/64 map entries — the
@@ -236,6 +240,17 @@ class PlanAuditSpec extends SparkSpec {
     // the join condition in dedup_bloom_new, which only makes the join
     // cheaper. The exact-verification left-anti join stays fully audited.
     val bloomGates = Set("dedup_bloom_prefilter", "dedup_bloom_new")
+    // dedup_semantic's SCOPED exemption: the only admissible nested-loop
+    // join is the condition-free broadcast of the bounded centroid frame
+    // (output exactly (centroid_id, ce); <= numCentroids rows via
+    // TakeOrdered at ANY corpus scale). The cluster-pair and keep-flag
+    // joins stay fully audited — a pair-generation regression to a
+    // cartesian flags here.
+    val centroidAssignGates = Set("dedup_semantic")
+    def isCentroidBroadcast(j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean =
+      j.condition.isEmpty &&
+        (j.left.output.map(_.name) == Seq("centroid_id", "ce") ||
+         j.right.output.map(_.name) == Seq("centroid_id", "ce"))
     def isPidTriangular(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
       cond.exists(_.references.forall(_.name == "_pid"))
     def isOneRowScalarBroadcast(j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec,
@@ -252,7 +267,12 @@ class PlanAuditSpec extends SparkSpec {
           case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
               if !(totalOrderGates(q.name) &&
                    (isPidTriangular(j.condition) || isBoundaryBroadcast(j))) &&
-                 !(bloomGates(q.name) && isOneRowScalarBroadcast(j, "bloom")) =>
+                 !(bloomGates(q.name) && isOneRowScalarBroadcast(j, "bloom")) &&
+                 !(centroidAssignGates(q.name) && isCentroidBroadcast(j)) &&
+                 // ppl's two one-row scalars (vocab size, distinct-doc count)
+                 !(q.name == "txt_ppl_buckets" &&
+                   (isOneRowScalarBroadcast(j, "vs") ||
+                    isOneRowScalarBroadcast(j, "n_docs"))) =>
             "BroadcastNestedLoopJoin"
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>

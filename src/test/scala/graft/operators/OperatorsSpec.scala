@@ -397,7 +397,8 @@ class OperatorsSpec extends SparkSpec {
       Row(5L, ("the a trailing line...\n" * 20).trim), // 100% ellipsis lines
       Row(6L, s"the a ${(1 to 48).map(_.toString).mkString(" ")}"), // digits
       Row(7L, w50 + " more words"),                 // no required stopwords
-      Row(8L, s"the a ${(1 to 48).map(i => "x" * 20 + i).mkString(" ")}")) // mwl > 10
+      Row(8L, s"the a ${(1 to 48).map(i => "x" * 20 + i).mkString(" ")}"), // mwl > 10
+      Row(9L, s"the a ${"… " * 48}".trim))          // unicode ellipsis ratio
     val df = mkDf(StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType))),
       docsRows)
@@ -406,19 +407,33 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Boolean]("gopher_pass"), r.getAs[Long]("n_words"))).toMap
     assert(out(1L)._1, s"baseline doc must pass: ${out(1L)}")
-    for (id <- 2L to 8L)
+    for (id <- 2L to 9L)
       assert(!out(id)._1, s"doc $id must fail its targeted rule")
     // spot-check the targeted metric actually drove each failure
     val m = df.select(Seq(col("doc_id")) ++
         TextOps.gopherColumns(col("text"), Seq("the", "a")): _*)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(m(2L).getAs[Long]("n_words") < 50)
-    assert(m(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(m(3L).getAs[Double]("hash_ratio") > 0.1)
     assert(m(4L).getAs[Double]("bullet_line_ratio") > 0.9)
+    assert(m(5L).getAs[Double]("ellipsis_ratio") > 0.1) // '...' per-symbol cut
     assert(m(5L).getAs[Double]("ellipsis_line_ratio") > 0.3)
     assert(m(6L).getAs[Double]("alpha_word_ratio") < 0.8)
     assert(m(7L).getAs[Long]("n_stopwords") < 2)
     assert(m(8L).getAs[Double]("mean_word_len") > 10.0)
+    assert(m(9L).getAs[Double]("ellipsis_ratio") > 0.1) // U+2026 counted
+    assert(m(9L).getAs[Double]("hash_ratio") == 0.0)
+    // per-symbol independence: a doc near-passing on each symbol alone
+    // must not fail on their sum (the paper's rule is per symbol)
+    val mixed = mkDf(df.schema, Seq(Row(10L,
+      s"the a ${"#" * 3} ${"…" * 3} $w50 word49 word50 word51")))
+    val mm = mixed.select(Seq(col("doc_id")) ++
+        TextOps.gopherColumns(col("text"), Seq("the", "a")): _*)
+      .collect().head
+    assert(mm.getAs[Double]("hash_ratio") <= 0.1 &&
+      mm.getAs[Double]("ellipsis_ratio") <= 0.1 &&
+      mm.getAs[Boolean]("gopher_pass"),
+      s"per-symbol cutoffs must not combine: $mm")
   }
 
   test("bm25: top-k equals the driver-side reference scorer") {
