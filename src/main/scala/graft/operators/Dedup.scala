@@ -1130,6 +1130,32 @@ object Dedup {
       .drop("comp")
   }
 
+  /** Quality-aware dedup resolution: keep the HIGHEST-`score` member of
+    * each near-dup component (ties to the lowest id) plus every unpaired
+    * doc — the "keep the best representative" rule production pipelines
+    * use where [[keepListComponents]]'s arbitrary min-id would discard a
+    * long original in favor of a short near-copy.
+    *
+    * Scale shape: component labels from [[connectedComponents]] (its
+    * three-way dispatch), then ONE hash aggregate on the component id —
+    * `max(struct(score, -id))` with map-side partials, so a
+    * million-member boilerplate cluster reaches the reducer as one
+    * pre-reduced row per upstream task — and a left-semi back-join.
+    * No window over components, no pairwise work beyond the input pairs.
+    * `score` must be numeric and ids integral (the same struct-max
+    * negation trick as the argmax centroid). */
+  def keepBest(df: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
+    val withComp = df.join(comps, Seq(idCol), "left")
+    val reps = withComp.filter(col("comp").isNotNull)
+      .groupBy(col("comp"))
+      .agg(max(struct(score.as("s"), (-col(idCol)).as("nid"))).as("m"))
+      .select((-col("m.nid")).as(idCol))
+    withComp.filter(col("comp").isNull).drop("comp")
+      .unionByName(df.join(reps, Seq(idCol), "left_semi"))
+  }
+
   /** 64-bit SimHash keyed by xxhash64 — the fast production variant. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashSig(df, idCol, textCol, w => xxhash64(w), 64)

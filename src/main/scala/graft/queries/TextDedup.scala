@@ -478,6 +478,50 @@ object TextDedup {
     // The oracle walks the closure with a recursive CTE, so a hash-match
     // proves chains a~b~c collapse even when a,c never paired directly.
     GQuery(
+      "dedup_keep_best",
+      """WITH RECURSIVE w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2
+        |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+        |edges AS (
+        |  SELECT id1 AS s, id2 AS d FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT walk.s, e.d FROM walk JOIN edges e ON walk.d = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS comp
+        |  FROM walk GROUP BY s),
+        |reps AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.comp
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |    FROM comp c JOIN documents d USING (doc_id))
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id < 200
+        |  AND (d.doc_id NOT IN (SELECT doc_id FROM comp)
+        |    OR d.doc_id IN (SELECT doc_id FROM reps))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(Dedup.tokenSet(docs, "doc_id", "text"), 0.8)
+      Dedup.keepBest(docs, "doc_id", col("n_chars"), pairs)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- Quality-aware keep above; min-id transitive closure below.
+    GQuery(
       "dedup_components",
       """WITH RECURSIVE w AS (
         |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w

@@ -436,6 +436,35 @@ class OperatorsSpec extends SparkSpec {
       s"per-symbol cutoffs must not combine: $mm")
   }
 
+  test("keepBest: one max-score representative per component, unpaired kept") {
+    val scoped = docs.filter(col("doc_id") < 200)
+    val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
+    val kept = Dedup.keepBest(scoped, "doc_id", col("n_chars"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = scoped.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = comps.keys.groupBy(comps)
+    assert(byComp.nonEmpty, "corpus must contain near-dup components")
+    byComp.values.foreach { ids =>
+      val repId = -ids.map(id => (sizes(id), -id)).max._2
+      assert(ids.toSet.filter(kept) == Set(repId),
+        s"component $ids must keep exactly its best member $repId")
+    }
+    val unpaired = sizes.keySet -- comps.keySet
+    assert(unpaired.subsetOf(kept), "unpaired docs must all be kept")
+    assert(kept.size == unpaired.size + byComp.size)
+    // differs from min-id resolution whenever a component's longest
+    // member is not its lowest id — assert the rule actually engages
+    val minIdReps = byComp.values.map(_.min).toSet
+    val bestReps = kept -- unpaired
+    assert(byComp.values.forall(ids => ids.toSet.intersect(bestReps).size == 1))
+    if (minIdReps != bestReps)
+      info(s"quality rule diverges from min-id on ${
+        (bestReps -- minIdReps).size} components")
+  }
+
   test("bm25: top-k equals the driver-side reference scorer") {
     val terms = Seq("spark", "customer", "the")
     val out = TextOps.bm25(docs, "doc_id", "text", terms, topK = 20)
