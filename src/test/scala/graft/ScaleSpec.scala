@@ -111,6 +111,22 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("_salt"), plan.take(1500))
   }
 
+  test("semDedup candidate generation is cluster-bounded (n²/C, not n²)") {
+    // the operator's scale claim in numbers: the within-cluster pair
+    // count must be a small fraction of the brute-force triangle
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val cells = graft.operators.Similarity.assignCells(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      graft.operators.Similarity.portableCentroids(emb, 16), keep = 1)
+    val counts = cells.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(counts.length == 16, s"all centroids must own a cell: ${counts.length}")
+    val candidates = counts.map(c => c * (c - 1) / 2).sum
+    val n = counts.sum
+    val brute = n * (n - 1) / 2
+    assert(candidates * 4 < brute,
+      s"cluster bucketing must cut candidates ≥4× (got $candidates of $brute)")
+  }
+
   test("TotalOrder output is invariant to the shuffle partition count") {
     // the property that makes the two-pass form safe at any cluster
     // width: global row numbers / running sums must not depend on how
