@@ -1140,20 +1140,30 @@ object Dedup {
     * three-way dispatch), then ONE hash aggregate on the component id —
     * `max(struct(score, -id))` with map-side partials, so a
     * million-member boilerplate cluster reaches the reducer as one
-    * pre-reduced row per upstream task — and a left-semi back-join.
-    * No window over components, no pairwise work beyond the input pairs.
+    * pre-reduced row per upstream task — and one comp-keyed join of the
+    * (small) representative frame back onto the once-materialized
+    * labeled corpus. No window over components, no pairwise work beyond
+    * the input pairs.
     * `score` must be numeric and ids integral (the same struct-max
     * negation trick as the argmax centroid). */
   def keepBest(df: DataFrame, idCol: String, score: Column,
       pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
-    val withComp = df.join(comps, Seq(idCol), "left")
+    // materialized once (CacheOnce): the labeled frame feeds the rep
+    // aggregate AND the final filter — without it each reference would
+    // re-evaluate df's whole upstream lineage (for a derived corpus
+    // frame, the dominant cost)
+    val withComp = CacheOnce(df.join(comps, Seq(idCol), "left"))
     val reps = withComp.filter(col("comp").isNotNull)
       .groupBy(col("comp"))
       .agg(max(struct(score.as("s"), (-col(idCol)).as("nid"))).as("m"))
-      .select((-col("m.nid")).as(idCol))
-    withComp.filter(col("comp").isNull).drop("comp")
-      .unionByName(df.join(reps, Seq(idCol), "left_semi"))
+      .select(col("comp"), (-col("m.nid")).as("_rep"))
+    // null comp never joins (SQL null-key semantics), so unpaired rows
+    // pass via the isNull arm and paired rows only as their component's
+    // representative
+    withComp.join(reps, Seq("comp"), "left")
+      .filter(col("comp").isNull || col(idCol) === col("_rep"))
+      .drop("comp", "_rep")
   }
 
   /** 64-bit SimHash keyed by xxhash64 — the fast production variant. */

@@ -505,7 +505,7 @@ object TextDedup {
         |reps AS (
         |  SELECT doc_id FROM (
         |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.comp
-        |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |      ORDER BY d.n_chars DESC NULLS LAST, c.doc_id) AS rn
         |    FROM comp c JOIN documents d USING (doc_id))
         |  WHERE rn = 1)
         |SELECT d.doc_id, d.n_chars FROM documents d

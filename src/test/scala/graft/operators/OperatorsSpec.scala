@@ -455,14 +455,13 @@ class OperatorsSpec extends SparkSpec {
     val unpaired = sizes.keySet -- comps.keySet
     assert(unpaired.subsetOf(kept), "unpaired docs must all be kept")
     assert(kept.size == unpaired.size + byComp.size)
-    // differs from min-id resolution whenever a component's longest
-    // member is not its lowest id — assert the rule actually engages
+    // the rule must actually engage on this corpus: some component's
+    // longest member is not its lowest id (stable property of the fixed
+    // sf0.001 fixture — 3 diverging components at the gate's params)
     val minIdReps = byComp.values.map(_.min).toSet
     val bestReps = kept -- unpaired
-    assert(byComp.values.forall(ids => ids.toSet.intersect(bestReps).size == 1))
-    if (minIdReps != bestReps)
-      info(s"quality rule diverges from min-id on ${
-        (bestReps -- minIdReps).size} components")
+    assert(minIdReps != bestReps,
+      "corpus must distinguish quality resolution from min-id resolution")
   }
 
   test("bm25: top-k equals the driver-side reference scorer") {
