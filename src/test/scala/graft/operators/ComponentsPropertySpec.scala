@@ -47,6 +47,31 @@ class ComponentsPropertySpec extends SparkSpec {
     label.keys.map(k => k -> root(k)).toMap
   }
 
+  test("keepBest == reference representative selection on random graphs") {
+    // docs 0..24 with random scores; pairs over the same universe. The
+    // kept set must be: every unpaired doc, plus per component exactly
+    // the max-score member (ties to the lowest id).
+    val caseGen: Gen[(List[(Long, Long)], Map[Long, Long])] = for {
+      pairs <- graphGen
+      scores <- Gen.listOfN(25, Gen.choose(0L, 5L)) // narrow range → ties
+    } yield (pairs, scores.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap)
+    val prop = Prop.forAll(caseGen) { case (pairs, scores) =>
+      val docs = scores.toSeq.toDF("doc_id", "score")
+      val pairsDf = pairs.toDF("id1", "id2")
+      val kept = Dedup.keepBest(docs, "doc_id", org.apache.spark.sql.functions.col("score"), pairsDf)
+        .collect().map(_.getLong(0)).toSet
+      val comps = reference(pairs)
+      val byComp = comps.keys.groupBy(comps)
+      val expectedReps = byComp.values.map(ids =>
+        -ids.map(id => (scores(id), -id)).max._2).toSet
+      val unpaired = scores.keySet -- comps.keySet
+      kept == (unpaired ++ expectedReps)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("driver UF == min-label == star == reference closure on random graphs") {
     val prop = Prop.forAll(graphGen) { pairs =>
       val df = pairs.toDF("id1", "id2")
