@@ -228,6 +228,35 @@ object TextDedup {
         .limit(50)
     },
 
+    // ---- Count-Min frequency sketch (Cormode/Muthukrishnan): token
+    // counts into a FIXED 4×256 cell grid — the bounded-key alternative
+    // to the exact distinct-token groupBy at corpus scale. Output pairs
+    // each probe term's exact count with its sketch estimate, so the
+    // hash certifies cells AND the overcount-only estimate contract; the
+    // 'zzz_absent' probe pins behavior on a never-seen key. Same
+    // md5+Carter–Wegman portable family as portable MinHash.
+    GQuery(
+      "txt_cms_counts",
+      cmsOracle(depth = 4, width = 256,
+        terms = Seq("spark", "customer", "the", "window", "merge",
+          "zzz_absent"))) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sketch = graft.operators.CountMin.buildTokens(docs, "text", 4, 256)
+      val terms = Seq("spark", "customer", "the", "window", "merge",
+        "zzz_absent")
+      val exact = docs
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      graft.operators.CountMin.estimateTerms(sketch, terms, 4, 256)
+        .join(exact, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          col("cms_est"))
+        .orderBy("term")
+    },
+
     // ---- Benchmark-contamination detection: corpus docs sharing any
     // 3-gram with the benchmark slice (semi-join on the shingle key — at
     // scale this is the standard n-gram-overlap decontamination pass,
@@ -1253,6 +1282,53 @@ object TextDedup {
     * (rows with rn = 1 are the selected fingerprints) — shared by the
     * selection gate and the overlap-pairs gate. Emitted WITHOUT the
     * leading WITH. */
+  /** DuckDB replay of [[graft.operators.CountMin]]: the affine constants
+    * inlined as literals, cells built from the same one-explode-per-row
+    * unnest, estimates as the min over left-joined cells (0 when a cell
+    * was never touched), exact counts from a left join on the token. */
+  private def cmsOracle(depth: Int, width: Int, terms: Seq[String]): String = {
+    val p = graft.operators.Dedup.minhashP
+    def buckets(hExpr: String): String =
+      (0 until depth).map { i =>
+        s"(${graft.operators.Dedup.affineA(i)} * $hExpr + ${graft.operators.Dedup.affineC(i)}) % $p % $width"
+      }.mkString(",\n        ")
+    val idx = (0 until depth).mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT % $p AS h
+       |  FROM tok),
+       |cells AS (
+       |  SELECT i, b, count(*) AS cnt FROM (
+       |    SELECT unnest([$idx]) AS i,
+       |      unnest([${buckets("h")}]) AS b
+       |    FROM h) x
+       |  GROUP BY i, b),
+       |terms AS (SELECT unnest([$termList]) AS term),
+       |th AS (
+       |  SELECT term,
+       |    ('0x' || substring(md5(term), 1, 15))::BIGINT % $p AS h
+       |  FROM terms),
+       |probes AS (
+       |  SELECT term, unnest([$idx]) AS i,
+       |    unnest([${buckets("h")}]) AS b
+       |  FROM th),
+       |est AS (
+       |  SELECT term, min(coalesce(cnt, 0)) AS cms_est
+       |  FROM probes LEFT JOIN cells USING (i, b)
+       |  GROUP BY term),
+       |ex AS (
+       |  SELECT t.term, count(k.tok) AS exact_cnt
+       |  FROM terms t LEFT JOIN tok k ON k.tok = t.term
+       |  GROUP BY t.term)
+       |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |  CAST(cms_est AS BIGINT) AS cms_est
+       |FROM est JOIN ex USING (term)
+       |ORDER BY term""".stripMargin
+  }
+
   private def winnowingCtes: String =
     """t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

@@ -436,6 +436,34 @@ class OperatorsSpec extends SparkSpec {
       s"per-symbol cutoffs must not combine: $mm")
   }
 
+  test("countMin: overcount-only estimates within the epsilon-N band") {
+    val (depth, width) = (4, 256)
+    val sketch = CountMin.buildTokens(docs, "text", depth, width)
+    val cells = sketch.collect()
+    assert(cells.length <= depth * width, "sketch must be bounded by d×w")
+    val totalTokens = docs.select(
+      org.apache.spark.sql.functions.sum(graft.operators.TextOps.tokenCount(col("text"))))
+      .collect()(0).getLong(0)
+    // every row of the sketch holds the full stream count
+    val perRow = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    perRow.foreach { case (r, s) =>
+      assert(s == totalTokens, s"row $r sums $s, stream is $totalTokens") }
+
+    val exact = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val terms = Seq("spark", "customer", "the", "window", "merge", "zzz_absent")
+    val est = CountMin.estimateTerms(sketch, terms, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      val ex = exact.getOrElse(t, 0L)
+      assert(est(t) >= ex, s"$t: CMS must never undercount (${est(t)} < $ex)")
+      // ε = e/width bound on the overcount, deterministic slack ×3 for
+      // the fixed corpus (usual bound holds w.h.p., not surely)
+      assert(est(t) - ex <= 3L * math.ceil(math.E / width * totalTokens).toLong,
+        s"$t overcounts implausibly: est ${est(t)}, exact $ex, N $totalTokens")
+    }
+  }
+
   test("keepBest: one max-score representative per component, unpaired kept") {
     val scoped = docs.filter(col("doc_id") < 200)
     val pairs = Dedup.jaccardPairs(Dedup.tokenSet(scoped, "doc_id", "text"), 0.8)
