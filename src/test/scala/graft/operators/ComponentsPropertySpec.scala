@@ -72,6 +72,42 @@ class ComponentsPropertySpec extends SparkSpec {
     assert(result.passed, result.toString)
   }
 
+  test("countMin: conservation and overcount-only on random token multisets") {
+    // random docs over a tiny vocabulary (heavy collisions at width 16)
+    val docGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 30)
+      docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf(
+        "a", "b", "c", "dd", "ee", "ff", "ggg", "hhh")).map(_.mkString(" ")))
+    } yield docs
+    val (depth, width) = (3, 16)
+    val prop = Prop.forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sketch = CountMin.buildTokens(df, "text", depth, width).collect()
+      val exact = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // tokens() on an empty/whitespace doc yields one empty-string token
+      // (the documented trim/split contract) — mirror it
+      val streamN = texts.map(t => math.max(t.trim.split("\\s+").length, 1).toLong).sum
+      val perRow = sketch.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+      val conserved = (0 until depth).forall(r => perRow.getOrElse(r, 0L) == streamN)
+      val terms = exact.keys.toSeq.sorted
+      val overOnly = terms.isEmpty || {
+        val est = CountMin.estimateTerms(
+          df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(sketch: _*),
+            CountMin.buildTokens(df, "text", depth, width).schema),
+          terms, depth, width)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        terms.forall(t => est(t) >= exact(t))
+      }
+      conserved && overOnly
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("driver UF == min-label == star == reference closure on random graphs") {
     val prop = Prop.forAll(graphGen) { pairs =>
       val df = pairs.toDF("id1", "id2")
