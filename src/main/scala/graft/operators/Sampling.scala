@@ -174,6 +174,40 @@ object Sampling {
       .limit(k)
       .drop("_w", "_sk")
 
+  /** Temperature-flattened stratum sampling — the multilingual mixing
+    * rule from the mBERT/XLM line of work: a stratum (language, source)
+    * holding share p of the corpus is sampled proportionally to p^alpha,
+    * flattening the head and boosting the tail (alpha = 1 reproduces the
+    * natural mix; alpha → 0 approaches uniform-over-strata). Keep-rate
+    * per stratum: r = min(1, targetFraction · N · w / n) with
+    * w = n^alpha / Σ n^alpha, so the expected sample size is
+    * targetFraction · N (up to rate clipping at 1). The keep decision is
+    * the same deterministic content-hash Bernoulli as
+    * [[stratifiedSample]] — reproducible across runs and engines.
+    *
+    * Scale shape: the rate table is one row per stratum (an aggregate of
+    * the stratum column only, column-pruned at the scan) broadcast back
+    * onto the corpus — no collect, no driver loop, and the filter pass
+    * never shuffles. Two scans total; the first reads a single column. */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_l"))
+    val totals = counts.agg(sum(col("n_l")).as("n_total"),
+      sum(pow(col("n_l").cast("double"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(totals)) // 1 row — scalar-subquery pattern
+      .select(col(stratumCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("n_total").cast("double")
+            * pow(col("n_l").cast("double"), lit(alpha)) / col("z")
+            / col("n_l").cast("double")).as("keep_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(uniform(concat(col(stratumCol), lit("|"), col(keyCol)))
+        < col("keep_rate"))
+  }
+
   /** Greedy sequence packing — the "pack documents into ≤ maxLen-token
     * training sequences" primitive. Docs are taken in `orderCol` order; a
     * doc joins the current sequence unless it would push the token total

@@ -432,6 +432,51 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
   }
 
+  /** Overlapping fixed-size token chunks — the context-window prep step
+    * (RAG indexing / pretraining sequence packing both start here): chunk
+    * starts at 0, stride, 2*stride, … < n_tokens, each taking up to
+    * `window` tokens, so consecutive chunks overlap by window − stride
+    * tokens. Pure per-row generate + slice — no shuffle, no UDF; output
+    * cardinality is ceil(n_tokens / stride) rows per document, each row
+    * bounded by `window` tokens, so partition sizes stay bounded at
+    * corpus scale regardless of individual document length. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0, s"stride must be positive, got $stride")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(window), size(col("t")) - col("col")).cast("long")
+          .as("n_chunk_toks"),
+        concat_ws(" ", slice(col("t"), col("col") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
+  /** Per-document Shannon token entropy in bits/token — the classic
+    * low-entropy-equals-boilerplate quality signal (template pages and
+    * keyword-stuffed spam sit near 0; natural prose near log2 of the
+    * vocabulary in use). Computed as log2(n) − Σ c·log2(c) / n over the
+    * per-(doc, token) counts c — same two-level aggregation shape as
+    * [[repetitionStats]]: both levels map-side partial, one shuffle key
+    * (doc_id) end to end. */
+  def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.byDoc(df, idCol)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt").cast("double") * log2(col("cnt").cast("double")))
+          .as("clc"))
+      .select(col("doc_id"), col("n_tokens"),
+        // +0.0 normalizes the −0.0 a single-token document rounds to
+        (round(log2(col("n_tokens").cast("double"))
+          - col("clc") / col("n_tokens").cast("double"), 4) + lit(0.0))
+          .as("token_entropy"))
+
   /** Per-(doc, term) TF-IDF over raw token occurrences: tf = term count in
     * the doc, idf = ln(N / df) with df = number of docs containing the
     * term (no smoothing — every scored term occurs somewhere, so df >= 1).

@@ -66,6 +66,33 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Temperature-flattened language mix (the mBERT/XLM p^alpha
+    // rule): per-language keep-rates derived in-plan from the language
+    // histogram (alpha 0.5, target 30% of the corpus), head language
+    // down-sampled, tail boosted. The oracle rebuilds the same rate
+    // table from the same counts and replays the hash Bernoulli.
+    GQuery(
+      "smp_temperature",
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT sum(n_l) AS n_total, sum(pow(n_l, 0.5)) AS z FROM c),
+         |r AS (
+         |  SELECT lang,
+         |    least(1.0, 0.3 * n_total * pow(n_l, 0.5) / z / n_l)
+         |      AS keep_rate
+         |  FROM c, tot)
+         |SELECT d.doc_id, d.lang, round(r.keep_rate, 4) AS keep_rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${uniformSql("d.lang || '|' || d.doc_id")} < r.keep_rate
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.3)
+        .select(col("doc_id"), col("lang"),
+          round(col("keep_rate"), 4).as("keep_rate"))
+        .orderBy("doc_id")
+    },
+
     // ---- Token-budget shard: docs in id order until the running token
     // total passes the budget (the "build a shard of N tokens" primitive).
     GQuery(

@@ -304,6 +304,50 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Per-document Shannon token entropy (bits/token): the
+    // low-entropy-equals-boilerplate quality signal. Same two-level
+    // aggregation as txt_repetition; the oracle replays
+    // log2(n) - sum(c*log2(c))/n over the per-(doc, token) counts.
+    GQuery(
+      "txt_entropy",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(log2(CAST(sum(cnt) AS DOUBLE))
+        |    - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 4) + 0.0
+        |    AS token_entropy
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.entropyStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- Overlapping token chunks (window 32, stride 24 → 8-token
+    // overlap): the RAG-indexing / context-window prep step. Pure
+    // per-row generate + slice, no shuffle; the oracle unnests the same
+    // start sequence and slices the same token list.
+    GQuery(
+      "txt_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, len(toks), 24)) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - s) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextOps.chunk(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- Gopher-style quality-rule filter: token-count bounds, mean
     // token length band, stopword presence, repetition cut — the standard
     // pretraining curation pass, emitted as the kept subset. Ratio

@@ -272,7 +272,13 @@ class PlanAuditSpec extends SparkSpec {
                  // ppl's two one-row scalars (vocab size, distinct-doc count)
                  !(q.name == "txt_ppl_buckets" &&
                    (isOneRowScalarBroadcast(j, "vs") ||
-                    isOneRowScalarBroadcast(j, "n_docs"))) =>
+                    isOneRowScalarBroadcast(j, "n_docs"))) &&
+                 // temperature sampling's one-row corpus-stats scalar
+                 // (N, Σ n^alpha — scalar-subquery pattern; the
+                 // per-stratum rate join itself is an audited equi-join)
+                 !(q.name == "smp_temperature" && j.condition.isEmpty &&
+                   (j.left.output.map(_.name) == Seq("n_total", "z") ||
+                    j.right.output.map(_.name) == Seq("n_total", "z"))) =>
             "BroadcastNestedLoopJoin"
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>

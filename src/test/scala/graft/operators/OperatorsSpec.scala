@@ -987,6 +987,71 @@ class OperatorsSpec extends SparkSpec {
     assert(cov(4L) === ((0L, 0.0)))
   }
 
+  test("chunk: coverage, overlap, and bounds on the real corpus") {
+    val w = 32; val s = 24
+    val chunks = TextOps.chunk(docs, "doc_id", "text", w, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val toks = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    assert(chunks.map(_._1).toSet === toks.keySet, "every doc chunked")
+    toks.foreach { case (id, t) =>
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      // chunk count = ceil(n / stride); starts are exact stride multiples
+      assert(mine.length === (t.length + s - 1) / s, s"doc $id chunk count")
+      mine.foreach { case (_, cid, start, n, text) =>
+        assert(start === cid * s, s"doc $id chunk $cid start")
+        assert(n === math.min(w, t.length - start), s"doc $id chunk $cid len")
+        assert(text === t.slice(start.toInt, start.toInt + w).mkString(" "),
+          s"doc $id chunk $cid text")
+      }
+      // every token position covered (stride <= window means no gaps)
+      val covered = mine.flatMap { case (_, _, start, n, _) =>
+        start until (start + n) }.toSet
+      assert(covered === (0L until t.length).toSet, s"doc $id coverage")
+    }
+  }
+
+  test("chunk: rejects non-positive window/stride; stride>window leaves gaps") {
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(docs, "doc_id", "text", 0, 1) }
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(docs, "doc_id", "text", 8, 0) }
+    // stride > window is legal (sampled chunks), just not covering
+    val sparse = TextOps.chunk(docs.limit(1), "doc_id", "text", 4, 16)
+      .collect()
+    assert(sparse.forall(_.getLong(3) <= 4))
+  }
+
+  test("entropyStats: constant doc at 0, all-distinct at log2(n), corpus sane") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "x x x x x x x x"),            // constant → 0 bits/token
+      (2L, "a b c d e f g h"),            // 8 distinct → exactly 3 bits
+      (3L, "a a b b"),                    // 2 symbols, equal → 1 bit
+      (4L, "solo"))                       // single token → 0 (and not -0.0)
+      .toDF("doc_id", "text")
+    val got = TextOps.entropyStats(tiny, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((8L, 0.0)))
+    assert(got(2L) === ((8L, 3.0)))
+    assert(got(3L) === ((4L, 1.0)))
+    assert(got(4L) === ((1L, 0.0)))
+    assert(1.0 / got(4L)._2 > 0, "single-token entropy must be +0.0, not -0.0")
+
+    // corpus-wide: entropy bounded by log2(n_distinct) <= log2(n_tokens)
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    TextOps.entropyStats(docs, "doc_id", "text").collect().foreach { r =>
+      val (id, n, h) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(h >= 0.0 && h <= math.log(rep(id).toDouble) / math.log(2) + 1e-9,
+        s"doc $id entropy $h outside [0, log2(${rep(id)})]")
+      assert(n > 0)
+    }
+  }
+
   private implicit class Round4(d: Double) {
     def round4: Double = math.rint(d * 10000) / 10000
   }

@@ -182,4 +182,54 @@ class SamplingSpec extends SparkSpec {
         s"position ${r.getDouble(0)} for weight $w is not an exact rank multiple")
     }
   }
+
+  test("temperatureSample: alpha=1 is the natural mix; alpha<1 flattens") {
+    // alpha = 1: w_l = n_l / N, so keep_rate = targetFraction for EVERY
+    // stratum — the temperature rule degrades to plain uniform sampling
+    val natural = Sampling.temperatureSample(docs, "lang", "doc_id", 1.0, 0.4)
+      .select("lang", "keep_rate").distinct().collect()
+    natural.foreach(r => assert(math.abs(r.getDouble(1) - 0.4) < 1e-12,
+      s"alpha=1 keep_rate ${r.getDouble(1)} for ${r.getString(0)}"))
+
+    // alpha < 1: the head stratum's rate drops below target, every tail
+    // stratum's rate rises above it (p^alpha flattening), and rates are
+    // ordered opposite to stratum size
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val head = before.maxBy(_._2)._1
+    val rates = Sampling.temperatureSample(docs, "lang", "doc_id", 0.5, 0.3)
+      .select("lang", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates(head) < 0.3, s"head '$head' rate ${rates(head)} not downweighted")
+    (before.keySet - head).foreach { l =>
+      assert(rates(l) > 0.3, s"tail '$l' rate ${rates(l)} not boosted")
+    }
+    before.toSeq.sortBy(_._2).map(_._1).sliding(2).foreach {
+      case Seq(small, big) =>
+        assert(rates(small) >= rates(big),
+          s"rate($small)=${rates(small)} < rate($big)=${rates(big)}")
+      case _ =>
+    }
+  }
+
+  test("temperatureSample: deterministic, rate-clipped at 1, near-target size") {
+    val s1 = Sampling.temperatureSample(docs, "lang", "doc_id", 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.temperatureSample(docs, "lang", "doc_id", 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "same params must reproduce the same sample")
+
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.1,
+      s"sample ${s1.size}/$n far from the 30% target")
+
+    // strong flattening + high target: tiny strata clip at keep_rate 1
+    // (kept wholesale) while rates never exceed 1
+    val clipped = Sampling.temperatureSample(docs, "lang", "doc_id", 0.1, 0.9)
+      .select("lang", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(clipped.values.forall(_ <= 1.0), s"rate above 1: $clipped")
+    assert(clipped.values.exists(_ == 1.0),
+      s"expected at least one clipped stratum at alpha=0.1/target=0.9: $clipped")
+  }
 }
