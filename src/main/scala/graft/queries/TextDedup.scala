@@ -1272,6 +1272,53 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- RAG-prep pipeline composite: chunk (window 32 / stride 24) →
+    // per-chunk quality filter (≥8 tokens, distinct-token ratio ≥ 0.5)
+    // → first-occurrence chunk dedup (the duplicated boilerplate a RAG
+    // index must not store twice). Filter-before-dedup is the standard
+    // order: dedup work is paid only for chunks that survive curation.
+    // One partitioned window on the chunk text (linear shuffle, same
+    // shape as dedup_segments); everything before it is per-row.
+    GQuery(
+      "pipe_rag_prep",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, len(toks), 24)) AS s
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |    CAST(least(32, n - s) AS BIGINT) AS n_chunk_toks,
+        |    array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+        |      AS chunk_text
+        |  FROM c),
+        |q AS (
+        |  SELECT * FROM ch
+        |  WHERE n_chunk_toks >= 8
+        |    AND CAST(len(list_distinct(string_split(chunk_text, ' ')))
+        |      AS DOUBLE) / n_chunk_toks >= 0.5),
+        |k AS (
+        |  SELECT doc_id, chunk_id, n_chunk_toks, chunk_text,
+        |    row_number() OVER (PARTITION BY chunk_text
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, chunk_id, n_chunk_toks, md5(chunk_text) AS chunk_md5
+        |FROM k WHERE rn = 1 ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val chunks = TextOps.chunk(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      val q = chunks.filter(col("n_chunk_toks") >= 8)
+        .filter(size(array_distinct(split(col("chunk_text"), " ")))
+          .cast("double") / col("n_chunk_toks") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+      q.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_toks"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- Incremental dedup: a NEW batch (doc_id 300-399) against the
     // EXISTING corpus (doc_id < 300) — the nightly-ingest case. Candidates
     // come from the band equi-join of new bands against corpus bands ONLY

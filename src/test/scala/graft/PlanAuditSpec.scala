@@ -310,11 +310,23 @@ class PlanAuditSpec extends SparkSpec {
   test("new text ops prune the documents scan to (doc_id, text)") {
     // lang/n_chars etc. must never reach the scan: at 100 TB an unpruned
     // wide read dominates the job cost
-    Seq("txt_tfidf", "txt_lm_score", "dedup_segments").foreach { name =>
+    Seq("txt_tfidf", "txt_lm_score", "dedup_segments",
+        "txt_entropy", "txt_chunks", "pipe_rag_prep").foreach { name =>
       val plan = physicalPlan(name)
       assert(!plan.contains("n_chars") && !plan.contains("quality_bucket"),
         s"$name reads unneeded document columns:\n" + plan.take(2000))
     }
+  }
+
+  test("smp_temperature: text never reaches either documents scan") {
+    // the rate pass needs only the stratum column and the filter pass
+    // only (doc_id, lang) — at 100 TB an accidental text read in either
+    // scan dominates the job
+    val plan = physicalPlan("smp_temperature")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(reads.nonEmpty, "no parquet scans found:\n" + plan.take(2000))
+    reads.foreach(rs => assert(!rs.contains("text"),
+      s"temperature sampling scan reads text: $rs"))
   }
 
   test("dedup_segments: first-occurrence window partitions by segment text") {
