@@ -208,6 +208,65 @@ object Sampling {
         < col("keep_rate"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much its hashed-n-gram profile looks drawn from a target subset
+    * rather than from the raw corpus — the published recipe for "select
+    * web docs that look like the curated domain". Features are unigram +
+    * bigram OCCURRENCES (a bag-of-features model, not a distinct set)
+    * hashed into a fixed `buckets`-cell space; both feature distributions
+    * are Laplace(+1)-smoothed bucket marginals, and a doc's weight is the
+    * sum over its gram occurrences of the per-bucket log-likelihood ratio
+    * log p_target(b) − log p_raw(b).
+    *
+    * Scale shape: one gram explode collapsed by map-side partials into
+    * per-(doc, bucket) counts — the only data-shaped shuffle; the two
+    * feature marginals derive from THAT aggregate (≤ buckets rows, no
+    * second corpus pass), their totals are a one-row scalar cross-join
+    * (the [[temperatureSample]] pattern), and the ratio table joins back
+    * by broadcast. Bounded state everywhere: the bucket space caps the
+    * model at `buckets` cells no matter the vocabulary, which is the
+    * point of hashed DSIR at corpus scale. Deterministic: the md5 bucket
+    * hash makes weights reproducible across runs and engines, so the
+    * whole scorer replays in SQL.
+    *
+    * Returns (doc_id, is_tgt, dsir_weight) for every doc with ≥1 token;
+    * rank non-target rows by weight descending to select. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = df
+      .select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("is_tgt"), explode(concat(
+        col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - lit(1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+          .otherwise(array()))).as("w"))
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(hash60(col("w")), lit(buckets.toLong)).as("b"))
+    // the only data-shaped exchange; is_tgt is constant per doc so adding
+    // it to the key does not widen the aggregate
+    val g = grams.groupBy("doc_id", "is_tgt", "b")
+      .agg(count(lit(1)).as("c"))
+    val marg = g.groupBy("b").agg(
+      sum(col("c")).as("raw_n"),
+      sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("tgt_n"))
+    val tot = marg.agg(sum(col("raw_n")).as("raw_tot"),
+      sum(col("tgt_n")).as("tgt_tot"))
+    val lam = marg.crossJoin(broadcast(tot)) // 1 row — scalar-subquery pattern
+      .select(col("b"),
+        (log((col("tgt_n") + lit(1)).cast("double")
+            / (col("tgt_tot") + lit(buckets)).cast("double"))
+          - log((col("raw_n") + lit(1)).cast("double")
+            / (col("raw_tot") + lit(buckets)).cast("double"))).as("lam"))
+    g.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("is_tgt"))
+      .agg(sum(col("c").cast("double") * col("lam")).as("dsir_weight"))
+  }
+
   /** Greedy sequence packing — the "pack documents into ≤ maxLen-token
     * training sequences" primitive. Docs are taken in `orderCol` order; a
     * doc joins the current sequence unless it would push the token total

@@ -258,6 +258,54 @@ object SamplingQueries {
       Sampling.weightedSample(docs, "skey", length(col("text")), 50)
         .select(col("doc_id"), length(col("text")).cast("long").as("weight"))
         .orderBy("doc_id")
+    },
+
+    // ---- DSIR importance scoring (Xie et al. 2023): rank non-target
+    // docs by how src0-like their hashed unigram+bigram profile is —
+    // the published "select raw docs resembling the curated domain"
+    // recipe. The md5 bucket hash and Laplace-smoothed log-ratio replay
+    // exactly in SQL; ranking uses the ROUNDED weight with a doc_id
+    // tiebreak so the top-k cut is engine-stable.
+    GQuery(
+      "smp_dsir",
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_tgt,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 1),
+        |grams AS (
+        |  SELECT doc_id, is_tgt, unnest(t) AS w FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, is_tgt, t[i] || ' ' || t[i+1] AS w
+        |  FROM (SELECT doc_id, is_tgt, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2) x),
+        |g AS (
+        |  SELECT doc_id, is_tgt,
+        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS b,
+        |    count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3),
+        |marg AS (
+        |  SELECT b, sum(c) AS raw_n,
+        |    sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt_n
+        |  FROM g GROUP BY b),
+        |tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM marg),
+        |lam AS (
+        |  SELECT b,
+        |    ln((tgt_n + 1) / (tgt_tot + 256.0))
+        |      - ln((raw_n + 1) / (raw_tot + 256.0)) AS lam
+        |  FROM marg, tot)
+        |SELECT doc_id, round(sum(c * lam), 4) AS dsir_w
+        |FROM g JOIN lam USING (b)
+        |WHERE NOT is_tgt
+        |GROUP BY doc_id
+        |ORDER BY dsir_w DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 256)
+        .filter(!col("is_tgt"))
+        .select(col("doc_id"), round(col("dsir_weight"), 4).as("dsir_w"))
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }

@@ -278,7 +278,13 @@ class PlanAuditSpec extends SparkSpec {
                  // per-stratum rate join itself is an audited equi-join)
                  !(q.name == "smp_temperature" && j.condition.isEmpty &&
                    (j.left.output.map(_.name) == Seq("n_total", "z") ||
-                    j.right.output.map(_.name) == Seq("n_total", "z"))) =>
+                    j.right.output.map(_.name) == Seq("n_total", "z"))) &&
+                 // DSIR's one-row feature-total scalar (raw_tot, tgt_tot
+                 // — scalar-subquery pattern; the bucket ratio join
+                 // itself is an audited equi-join)
+                 !(q.name == "smp_dsir" && j.condition.isEmpty &&
+                   (j.left.output.map(_.name) == Seq("raw_tot", "tgt_tot") ||
+                    j.right.output.map(_.name) == Seq("raw_tot", "tgt_tot"))) =>
             "BroadcastNestedLoopJoin"
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !(totalOrderGates(q.name) && isPidTriangular(j.condition)) =>
@@ -316,6 +322,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("n_chars") && !plan.contains("quality_bucket"),
         s"$name reads unneeded document columns:\n" + plan.take(2000))
     }
+  }
+
+  test("smp_dsir: scan reads only (doc_id, text, source)") {
+    // the DSIR scorer needs text (grams), source (target label) and the
+    // id — lang/n_chars reaching the scan would widen every corpus read
+    val plan = physicalPlan("smp_dsir")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"smp_dsir reads unneeded document columns:\n" + plan.take(2000))
   }
 
   test("smp_temperature: text never reaches either documents scan") {

@@ -232,4 +232,43 @@ class SamplingSpec extends SparkSpec {
     assert(clipped.values.exists(_ == 1.0),
       s"expected at least one clipped stratum at alpha=0.1/target=0.9: $clipped")
   }
+
+  test("dsirWeights: target-vocab docs outscore off-vocab docs") {
+    import spark.implicits._
+    // target docs speak vocab A; the raw pool holds one pure-A doc, one
+    // pure-B doc, and one mixed doc — the published selection property is
+    // the ordering A > mixed > B among the scored (non-target) docs
+    val rows = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha beta gamma", true),
+      (3L, "alpha beta gamma beta alpha", true),
+      (10L, "alpha beta gamma alpha gamma", false),
+      (11L, "alpha beta zulu yankee alpha", false),
+      (12L, "zulu yankee xray zulu yankee", false)
+    ).toDF("doc_id", "text", "is_t")
+    val w = Sampling.dsirWeights(rows, "doc_id", "text", col("is_t"), 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size === 6, s"every tokenized doc must be scored: $w")
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite), s"non-finite: $w")
+    assert(w(10L) > w(11L) && w(11L) > w(12L),
+      s"expected target-vocab ordering 10 > 11 > 12, got $w")
+
+    // deterministic across plans (the md5 bucket hash, not a seed)
+    val w2 = Sampling.dsirWeights(rows, "doc_id", "text", col("is_t"), 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w === w2)
+  }
+
+  test("dsirWeights: on the corpus, target docs outscore non-target on average") {
+    // weights are an empirical log-likelihood ratio fit on these very
+    // docs, so the target class mean must exceed the raw-pool mean (the
+    // smoothed-KL argument); also pins row count = every doc scored once
+    val w = Sampling.dsirWeights(docs, "doc_id", "text",
+      col("source") === "src0", 256)
+    assert(w.count() === docs.count(), "every doc must be scored exactly once")
+    val means = w.groupBy("is_tgt").agg(avg(col("dsir_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} must exceed raw mean ${means(false)}")
+  }
 }
