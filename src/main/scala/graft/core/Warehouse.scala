@@ -27,6 +27,14 @@ object Warehouse {
           spark.sessionState.catalog.defaultTablePath(TableIdentifier(table)))
         val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(loc)) fs.delete(loc, true)
-      } catch { case _: Throwable => () }
+      } catch {
+        // a reclaim failure only re-surfaces as LOCATION_ALREADY_EXISTS
+        // at the caller's write — log and let that error name the table.
+        // NonFatal only: swallowing OOM/interrupts here would mask them
+        // as a silent no-op (r11 advice).
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft.Warehouse: reclaimOrphan($table) failed: $e")
+      }
     }
 }

@@ -248,6 +248,10 @@ object GraftFunctions {
     * for k/w (SQL integer literals can arrive as int or long) and fails
     * with a named-argument error, not a ClassCastException. */
   private[functions] def winnowBuilder(exprs: Seq[Expression]): Expression = {
+    // arity first: exprs(1)/exprs(2) below would otherwise surface a
+    // bare IndexOutOfBoundsException to the SQL caller
+    if (exprs.length != 3) throw new IllegalArgumentException(
+      s"$winnowName expects 3 arguments (tokens, k, w), got ${exprs.length}")
     def litInt(e: Expression, what: String): Int = {
       val v = if (e.foldable) e.eval() else null
       v match {

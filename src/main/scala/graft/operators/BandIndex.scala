@@ -38,72 +38,31 @@ object BandIndex {
   val NoBatch: Long = -1L
 
   // ------------------------------------------------------------------
-  // Versioned physical layout. Readers and appenders address each index
-  // table through a VIEW (`<name>_bands`, `<name>_toks`) that redirects
-  // to the current physical version (`<name>_bands_vN`). This is what
-  // makes [[compact]]'s swap ATOMIC: the rewrite lands fully in v(N+1),
-  // then ONE `CREATE OR REPLACE VIEW` retargets readers — there is no
-  // instant at which the index name fails to resolve (the round-7
-  // drop+rename swap had a two-metadata-op window). The authoritative
-  // current version is parsed from the view's own definition, NOT from a
-  // max-suffix listing: an orphan v(N+1) left by a crash mid-compact
-  // must stay invisible to appends until a re-run compact overwrites it.
+  // Versioned physical layout — the shared [[graft.core.VersionedTable]]
+  // view-redirect scheme (each index table is a VIEW over the current
+  // `<name>_vN`; a compact lands fully in v(N+1) then one CREATE OR
+  // REPLACE VIEW retargets readers, so the swap is atomic and a crash
+  // mid-rewrite leaves only an invisible orphan). Thin local aliases
+  // keep the call sites and the spec's `physicalTable` probe unchanged.
 
   private def versionOf(spark: org.apache.spark.sql.SparkSession,
-      base: String): Int = {
-    val cat = spark.sessionState.catalog
-    val id = org.apache.spark.sql.catalyst.TableIdentifier(base)
-    if (!cat.tableExists(id)) 0
-    else cat.getTableMetadata(id).viewText match {
-      case Some(sql) =>
-        "_v(\\d+)".r.findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(0)
-      case None => 0 // pre-versioning physical table under the base name
-    }
-  }
+      base: String): Int = graft.core.VersionedTable.versionOf(spark, base)
 
   /** The physical table currently behind `base` — what appends write to
     * and what the spec's file-listing inspects. */
   private[operators] def physicalTable(
-      spark: org.apache.spark.sql.SparkSession, base: String): String = {
-    val v = versionOf(spark, base)
-    if (v == 0) base else s"${base}_v$v"
-  }
+      spark: org.apache.spark.sql.SparkSession, base: String): String =
+    graft.core.VersionedTable.physicalTable(spark, base)
 
-  /** Read `base` with a fresh file listing. Sessions cache a table's
-    * file-list snapshot in their tableRelationCache — and creating the
-    * redirect view PRE-POPULATES that cache in the creating session
-    * (analyzing `SELECT * FROM base_vN` resolves the table) — so a
-    * session would otherwise silently miss files appended by ANY OTHER
-    * session (the streaming foreachBatch clone invalidates only its own
-    * cache). The index's contract is multi-writer-visible reads; the
-    * refresh is an O(#files) metadata op, negligible next to the joins
-    * it feeds. Without it, [[compact]] would be outright destructive
-    * after cross-session appends: a stale listing rewrites the index
-    * WITHOUT the appended rows. */
+  /** Read `base` with a fresh file listing (see
+    * [[graft.core.VersionedTable.refreshed]] for why the refresh is a
+    * correctness requirement under cross-session appends). */
   private def refreshed(spark: org.apache.spark.sql.SparkSession,
-      base: String): DataFrame = {
-    val physical = physicalTable(spark, base)
-    spark.catalog.refreshTable(physical)
-    spark.table(physical)
-  }
+      base: String): DataFrame = graft.core.VersionedTable.refreshed(spark, base)
 
-  /** Atomically retarget `base` to version `v` and drop every OTHER
-    * versioned physical table (plus a legacy unversioned table, whose
-    * name the view takes over). */
   private def retarget(spark: org.apache.spark.sql.SparkSession,
-      base: String, v: Int): Unit = {
-    val cat = spark.sessionState.catalog
-    val id = org.apache.spark.sql.catalyst.TableIdentifier(base)
-    if (cat.tableExists(id) && cat.getTableMetadata(id).viewText.isEmpty)
-      spark.sql(s"DROP TABLE $base")
-    spark.sql(s"CREATE OR REPLACE VIEW $base AS SELECT * FROM ${base}_v$v")
-    val prefix = s"${base}_v"
-    cat.listTables(cat.getCurrentDatabase).map(_.table)
-      .filter(t => t.startsWith(prefix) &&
-        t.stripPrefix(prefix).forall(_.isDigit) &&
-        t != s"${base}_v$v")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-  }
+      base: String, v: Int): Unit =
+    graft.core.VersionedTable.retarget(spark, base, v)
 
   /** Sketch `corpus` with the portable family and persist the two index
     * tables under `name` (`spark.sql.warehouse.dir` / session catalog). */
@@ -164,7 +123,14 @@ object BandIndex {
       else try {
         val r = spark.table(metaName).collect()(0)
         Some((r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
-      } catch { case _: Throwable => None }
+      } catch {
+        // unreadable meta ⇒ treat as no provenance and rebuild; NonFatal
+        // only so OOM/interrupts propagate instead of forcing a rebuild
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft.BandIndex: meta table $metaName unreadable: $e")
+          None
+      }
     if (!recorded.contains((fp, sem, numHashes, bands, buckets))) {
       build(corpus, idCol, textCol, numHashes, bands, buckets, name)
       graft.core.Warehouse.reclaimOrphan(spark, metaName)

@@ -370,10 +370,23 @@ object TextOps {
     // sentinel above any real −score×10⁴ = NULLS LAST. Precondition:
     // 0 ≤ id < 2⁴⁰ and score > −100 — both hold for any corpus this
     // engine ingests (ids are table keys, scores are per-bigram log
-    // averages); a generic caller with wider ids re-keys first.
+    // averages); a generic caller with wider ids re-keys first. The
+    // guard below makes a violation FAIL LOUDLY (raise_error names the
+    // precondition) instead of silently mis-ranking — per-row cost is
+    // two codegen'd comparisons on the already-computed operands.
+    val scaledRaw = round(-col("lm_score") * 10000).cast("long")
     val scaled = when(col("lm_score").isNull, lit(1000000L))
-      .otherwise(round(-col("lm_score") * 10000).cast("long"))
-    val key = scaled * lit(1L << 40) + col("doc_id")
+      .otherwise(scaledRaw)
+    val packed = scaled * lit(1L << 40) + col("doc_id")
+    val key = when(col("doc_id") < 0L || col("doc_id") >= lit(1L << 40),
+        raise_error(concat(
+          lit("pplBuckets: id outside packed-key range [0, 2^40): "),
+          col("doc_id").cast("string"))).cast("long"))
+      .when(col("lm_score").isNotNull && scaledRaw >= lit(1000000L),
+        raise_error(concat(
+          lit("pplBuckets: lm_score <= -100 breaks the packed rank key: "),
+          col("lm_score").cast("string"))).cast("long"))
+      .otherwise(packed)
     val ranked = TotalOrder.globalRowNumber(
       scored.withColumn("_k", key), "_k", "_rank")
     val q = floor(col("n_docs") / lit(k)).cast("long")

@@ -142,7 +142,15 @@ object TotalOrder {
       if (rows.isEmpty) None
       else if (rows(0).isNullAt(0)) Some(None)
       else Some(Some(rows(0).getSeq[Double](0)))
-    } catch { case _: Throwable => None }
+    } catch {
+      // an unreadable boundary table only costs the sketch-scan fallback
+      // (boundary values are correctness-neutral) — but NonFatal only,
+      // so OOM/interrupts propagate instead of masquerading as a miss
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft.TotalOrder: persisted boundaries $name unreadable: $e")
+        None
+    }
   }
 
   /** The boundary array for (df, img, nb): session memo, then the
@@ -198,7 +206,12 @@ object TotalOrder {
         if (spark.catalog.tableExists(name))
           Some(spark.table(name).select(col("_bnds")))
         else None
-      } catch { case _: Throwable => None }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft.TotalOrder: boundary table $name unreadable: $e")
+          None
+      }
     persisted.getOrElse(
       Seq(boundariesFor(df, img, nb, probs)).toDF("_bnds"))
   }

@@ -1277,8 +1277,16 @@ object TextDedup {
     // → first-occurrence chunk dedup (the duplicated boilerplate a RAG
     // index must not store twice). Filter-before-dedup is the standard
     // order: dedup work is paid only for chunks that survive curation.
-    // One partitioned window on the chunk text (linear shuffle, same
-    // shape as dedup_segments); everything before it is per-row.
+    // First-occurrence dedup is a min(struct(doc_id, chunk_id)) hash
+    // aggregate grouped by the chunk text — output-identical to a
+    // row_number()-over-(partition by chunk_text) window but hot-key
+    // safe: a boilerplate chunk (cookie banner, license header)
+    // duplicated across millions of documents combines MAP-SIDE via
+    // partial aggregation, so the reducer owning that key receives one
+    // pre-reduced row per upstream task instead of every duplicate (the
+    // window form would land them all in one straggler partition — the
+    // same trade documented at Dedup.segmentDedup's hotKeyAggregate).
+    // Everything before the one hash shuffle is per-row.
     GQuery(
       "pipe_rag_prep",
       """WITH t AS (
@@ -1311,10 +1319,15 @@ object TextDedup {
       val q = chunks.filter(col("n_chunk_toks") >= 8)
         .filter(size(array_distinct(split(col("chunk_text"), " ")))
           .cast("double") / col("n_chunk_toks") >= 0.5)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
-      q.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("chunk_id"), col("n_chunk_toks"),
+      // n_chunk_toks rides in the struct for free: chunk_text is its
+      // tokens joined by single spaces, so equal text implies equal
+      // token count — the min row's value equals every group member's
+      q.groupBy("chunk_text")
+        .agg(min(struct(col("doc_id"), col("chunk_id"),
+          col("n_chunk_toks"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"),
+          col("f.chunk_id").as("chunk_id"),
+          col("f.n_chunk_toks").as("n_chunk_toks"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     },

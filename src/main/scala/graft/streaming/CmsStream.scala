@@ -28,14 +28,26 @@ object CmsStream {
   val NoBatch: Long = -1L
 
   /** Seed the cells table from an existing corpus (src_batch = NoBatch
-    * so no real trigger's replay guard can ever collide with it). */
+    * so no real trigger's replay guard can ever collide with it). Lands
+    * in the next physical version and retargets the view — same atomic
+    * lifecycle as [[compact]], so a re-seed over a live table never has
+    * a window where the state name resolves to a half-written copy. */
   def seed(corpus: DataFrame, textCol: String, table: String,
-      depth: Int, width: Int): Unit = {
-    val spark = corpus.sparkSession
-    graft.core.Warehouse.reclaimOrphan(spark, table)
-    CountMin.buildTokens(corpus, textCol, depth, width)
-      .withColumn("src_batch", lit(NoBatch))
-      .write.mode("overwrite").saveAsTable(table)
+      depth: Int, width: Int): Unit =
+    writeVersion(corpus.sparkSession,
+      CountMin.buildTokens(corpus, textCol, depth, width)
+        .withColumn("src_batch", lit(NoBatch)), table)
+
+  /** Land `cells` as the table's next physical version, then retarget
+    * the redirect view (one atomic metadata op — VersionedTable). */
+  private def writeVersion(spark: SparkSession, cells: DataFrame,
+      table: String): Unit = {
+    val next = graft.core.VersionedTable.versionOf(spark, table) + 1
+    // a previous JVM's managed location may survive its (in-memory)
+    // catalog entry and block re-creation — reclaim it first
+    graft.core.Warehouse.reclaimOrphan(spark, s"${table}_v$next")
+    cells.write.mode("overwrite").saveAsTable(s"${table}_v$next")
+    graft.core.VersionedTable.retarget(spark, table, next)
   }
 
   /** Start the stream: every micro-batch lands its cell deltas. */
@@ -56,24 +68,22 @@ object CmsStream {
     val spark = batch.sparkSession
     val exists = spark.catalog.tableExists(table)
     if (exists) {
-      spark.catalog.refreshTable(table)
       // replay guard: a batch id that already landed must not re-sum
-      if (!spark.table(table).filter(col("src_batch") === batchId)
-            .isEmpty) return
-    } else {
-      graft.core.Warehouse.reclaimOrphan(spark, table)
+      if (!graft.core.VersionedTable.refreshed(spark, table)
+            .filter(col("src_batch") === batchId).isEmpty) return
     }
     val cells = CountMin.buildTokens(batch, textCol, depth, width)
       .withColumn("src_batch", lit(batchId))
-    if (exists) cells.write.mode("append").saveAsTable(table)
-    else cells.write.saveAsTable(table)
+    if (exists)
+      cells.write.mode("append").saveAsTable(
+        graft.core.VersionedTable.physicalTable(spark, table))
+    else writeVersion(spark, cells, table)
   }
 
   /** The served sketch: cells summed across every landed batch. */
-  def sketch(spark: SparkSession, table: String): DataFrame = {
-    spark.catalog.refreshTable(table)
-    spark.table(table).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
-  }
+  def sketch(spark: SparkSession, table: String): DataFrame =
+    graft.core.VersionedTable.refreshed(spark, table)
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Point estimates against the current table state. */
   def estimate(spark: SparkSession, table: String, terms: Seq[String],
@@ -85,14 +95,18 @@ object CmsStream {
     * sum is associative — and later replays of already-landed ids are
     * no longer detectable, so compact only between (not during)
     * streaming queries, the same operational contract as BandIndex
-    * compact. */
+    * compact. Crash-safe via the shared versioned layout: the folded
+    * rows land fully in the NEXT physical version before one CREATE OR
+    * REPLACE VIEW retargets readers — a crash mid-write leaves the
+    * current version untouched (the orphan stays invisible and is
+    * overwritten by the re-run), never the zero-copy window an in-place
+    * overwrite of the single copy would have. */
   def compact(spark: SparkSession, table: String): Unit = {
     val folded = sketch(spark, table)
       .withColumn("src_batch", lit(NoBatch))
       .collect() // ≤ d·w rows — bounded by the sketch shape, not data
-    val schema = spark.table(table).schema
-    spark.createDataFrame(
-      java.util.Arrays.asList(folded: _*), schema)
-      .write.mode("overwrite").saveAsTable(table)
+    val schema = graft.core.VersionedTable.refreshed(spark, table).schema
+    writeVersion(spark, spark.createDataFrame(
+      java.util.Arrays.asList(folded: _*), schema), table)
   }
 }

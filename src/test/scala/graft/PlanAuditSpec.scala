@@ -324,6 +324,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipe_rag_prep: first-occurrence dedup is a hash aggregate, not a window") {
+    // a boilerplate chunk duplicated across millions of documents makes
+    // a chunk_text-partitioned window a one-straggler wall at 100 TB;
+    // the min(struct) aggregate combines the hot key map-side. Pin the
+    // shape: no Window over chunk_text, and a partial_min before the
+    // chunk_text exchange (map-side combine actually planned).
+    val plan = physicalPlan("pipe_rag_prep")
+    assert(!plan.contains("Window"),
+      "rag-prep first-occurrence must not plan a window:\n" + plan.take(3000))
+    assert(plan.contains("partial_min"),
+      "rag-prep dedup aggregate must combine map-side:\n" + plan.take(3000))
+  }
+
   test("smp_dsir: scan reads only (doc_id, text, source)") {
     // the DSIR scorer needs text (grams), source (target label) and the
     // id — lang/n_chars reaching the scan would widen every corpus read
