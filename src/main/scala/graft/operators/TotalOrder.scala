@@ -383,26 +383,51 @@ object TotalOrder {
     * to filtering after, but the window sorts ~⌈bound/bucket⌉ buckets
     * instead of the whole input — the difference between "number the
     * corpus, keep 100" and "number one bucket". */
+  /** Bounds under which the bounded row-number path is served as a
+    * TakeOrdered top-k instead of the two-pass prune. TakeOrdered holds
+    * up to `bound` rows per task heap and merges ≤ bound rows on the
+    * driver — constant-bounded memory for a query-constant bound, the
+    * same class as the LIMIT the caller is about to apply anyway. Past
+    * this the two-pass prune wins (nothing driver-resident). */
+  val TopKLimitMax: Long = 1L << 20
+
   def globalRowNumber(df: DataFrame, orderCol: String, out: String,
-      upperBound: Option[Long]): DataFrame = {
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    val offsets = upperBound match {
-      case Some(b) =>
-        doubleImage(df.schema(orderCol).dataType, col(orderCol)) match {
-          // numeric order: prune BEFORE any data exchange (see
-          // boundedCountPrefixOffsets for the trade)
-          case Some(img) => boundedCountPrefixOffsets(df, img, b)
-          // range fallback (strings): the ranged frame is cached, so
-          // the post-join filter still prunes the window for free
-          case None =>
-            rangePrefixOffsets(df, orderCol, lit(1L))
-              .filter(col("_prefix") < b)
-        }
-      case None => withPrefixOffsets(df, orderCol, lit(1L))
-    }
-    offsets
-      .withColumn(out, (col("_prefix") + row_number().over(w)).cast("long"))
-      .drop("_pid", "_prefix")
+      upperBound: Option[Long]): DataFrame = upperBound match {
+    case Some(b) if b <= TopKLimitMax =>
+      // Rank-with-LIMIT is a top-k: ONE scan with a per-partition heap
+      // (TakeOrderedAndProject) instead of the two-pass prune's two
+      // scans + totals aggregation + slim exchange — at any corpus size
+      // the data never shuffles at all. Works for every orderable type
+      // (no numeric image needed). The trailing rank window is
+      // unpartitioned but BOUNDED: its input is the ≤ b-row TakeOrdered
+      // output — the plan audit admits unpartitioned windows only above
+      // a literal global LIMIT, so an unbounded regression still flags.
+      // Ranks are exact for 1..min(b, n) (TakeOrdered returns the
+      // globally smallest b keys; orderCol is unique per the operator's
+      // total-order contract), which is the entire contract: the caller
+      // keeps only out <= b.
+      df.orderBy(col(orderCol)).limit(b.toInt)
+        .withColumn(out,
+          row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+    case _ =>
+      val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      val offsets = upperBound match {
+        case Some(b) =>
+          doubleImage(df.schema(orderCol).dataType, col(orderCol)) match {
+            // numeric order: prune BEFORE any data exchange (see
+            // boundedCountPrefixOffsets for the trade)
+            case Some(img) => boundedCountPrefixOffsets(df, img, b)
+            // range fallback (strings): the ranged frame is cached, so
+            // the post-join filter still prunes the window for free
+            case None =>
+              rangePrefixOffsets(df, orderCol, lit(1L))
+                .filter(col("_prefix") < b)
+          }
+        case None => withPrefixOffsets(df, orderCol, lit(1L))
+      }
+      offsets
+        .withColumn(out, (col("_prefix") + row_number().over(w)).cast("long"))
+        .drop("_pid", "_prefix")
   }
 
   /** Global running sum of `valueCol` over `orderCol` order as `out`.

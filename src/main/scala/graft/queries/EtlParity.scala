@@ -123,9 +123,11 @@ object EtlParity {
     // reference delegates to warehouse SERIAL (and disables its own
     // range(); transform.py:169); the engine-side alternative is a global
     // row number over an explicit total order — deterministic, unlike
-    // monotonically_increasing_id, and reproducible by the oracle. The
-    // Spark side runs TotalOrder's two-pass range-partition form, never
-    // the oracle's literal single-partition OVER (ORDER BY ...) window.
+    // monotonically_increasing_id, and reproducible by the oracle. With
+    // the LIMIT pushed in as a bound the Spark side plans a TakeOrdered
+    // top-k — never the oracle's literal single-partition OVER (ORDER
+    // BY) window over the corpus; unbounded keying runs TotalOrder's
+    // two-pass range-partition form.
     GQuery(
       "etl_surrogate_keys",
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
@@ -134,12 +136,10 @@ object EtlParity {
         |FROM orders
         |ORDER BY order_sk LIMIT 100""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      // land the order boundaries as versioned catalog state once (the
-      // warehouse-ingest step of a production keying flow); cold runs
-      // then read nb-1 doubles in-plan instead of re-sketching orders
-      graft.operators.TotalOrder.persistBoundaries(base, "o_orderkey")
-      // the LIMIT doubles as TotalOrder's bucket-pruning bound: buckets
-      // whose row-count prefix reaches 100 can't contribute kept rows
+      // the LIMIT pushes into the numbering as TotalOrder's top-k bound:
+      // rank-with-LIMIT plans as one TakeOrderedAndProject scan (zero
+      // data shuffle; plan-audit-pinned) — the two-pass boundary
+      // machinery only engages for unbounded numbering (smp_*/txt_ppl)
       graft.operators.TotalOrder.globalRowNumber(base, "o_orderkey",
           "order_sk", upperBound = Some(100L))
         .select(col("order_sk"), col("o_orderkey"), col("o_custkey"))

@@ -169,23 +169,30 @@ class ScaleSpec extends SparkSpec {
         .filter(col("rn") <= bound)
         .orderBy("doc_id").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSeq
-    for (bound <- Seq(1L, 7L, 100L, 100000L)) {
+    // bounds <= TopKLimitMax take the TakeOrdered top-k path; the
+    // above-max bound pins the two-pass bucket-prune path, which must
+    // stay live for huge bounds (nothing driver-resident)
+    for (bound <- Seq(1L, 7L, 100L, 100000L,
+        graft.operators.TotalOrder.TopKLimitMax + 7L)) {
       val pruned = kept(bound, Some(bound))
       val full = kept(bound, None)
       assert(pruned === full, s"bound $bound diverged")
       assert(pruned.map(_._2) === (1L to math.min(bound, full.size.toLong)),
         s"bound $bound row numbers not contiguous from 1")
     }
-    // string keys exercise the range-fallback bounded path
+    // string keys exercise the top-k path (small bound) AND the
+    // range-fallback bounded path (above-max bound)
     val byName = graft.core.Tables(spark, dir, "customer")
       .select("c_name", "c_custkey")
-    val prunedStr = graft.operators.TotalOrder
-      .globalRowNumber(byName, "c_name", "rn", Some(10L))
-      .filter(col("rn") <= 10).orderBy("rn").collect().map(_.getString(0)).toSeq
     val fullStr = graft.operators.TotalOrder
       .globalRowNumber(byName, "c_name", "rn")
       .filter(col("rn") <= 10).orderBy("rn").collect().map(_.getString(0)).toSeq
-    assert(prunedStr === fullStr)
+    for (ub <- Seq(10L, graft.operators.TotalOrder.TopKLimitMax + 7L)) {
+      val prunedStr = graft.operators.TotalOrder
+        .globalRowNumber(byName, "c_name", "rn", Some(ub))
+        .filter(col("rn") <= 10).orderBy("rn").collect().map(_.getString(0)).toSeq
+      assert(prunedStr === fullStr, s"string bound $ub diverged")
+    }
   }
 
   test("TotalOrder under adversarial key skew: correct when the range " +
