@@ -257,6 +257,55 @@ object TextDedup {
         .orderBy("term")
     },
 
+    // ---- Streaming Count-Min, replayed: the first CORRECTNESS gate
+    // over the streaming family. Seeds the persisted cells table from a
+    // base corpus slice, lands two micro-batches through the EXACT
+    // production trigger body (CmsStream.trigger — what foreachBatch
+    // invokes), then REPLAYS batch 0 (the at-least-once delivery case:
+    // the replay guard must skip it or every seen term double-counts and
+    // the hash breaks). Because cell merge is additive, the final table
+    // state equals the batch sketch over the union slice — which is what
+    // the oracle replays as batch SQL (same md5+Carter–Wegman family,
+    // WHERE doc_id < 300). Idempotent across runs: the guard skips
+    // already-landed batch ids, so re-running the gate serves the same
+    // state; a fresh JVM re-seeds via the versioned write-then-retarget
+    // lifecycle.
+    GQuery(
+      "stream_cms_replay",
+      cmsOracle(depth = 4, width = 256,
+        terms = Seq("spark", "customer", "the", "window", "merge",
+          "zzz_absent"),
+        where = "WHERE doc_id < 300")) { (s, dir) =>
+      import graft.streaming.CmsStream
+      val (depth, width) = (4, 256)
+      val docs = t(s, dir, "documents")
+      val crc = new java.util.zip.CRC32()
+      crc.update(dir.getBytes("UTF-8"))
+      val table = f"graft_cms_stream_${crc.getValue}%08x"
+      if (!s.catalog.tableExists(table))
+        CmsStream.seed(docs.filter(col("doc_id") < 100), "text", table,
+          depth, width)
+      def slice(lo: Int, hi: Int) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      CmsStream.trigger(slice(100, 200), 0L, "text", table, depth, width)
+      CmsStream.trigger(slice(200, 300), 1L, "text", table, depth, width)
+      // at-least-once replay of batch 0 — the guard must skip it
+      CmsStream.trigger(slice(100, 200), 0L, "text", table, depth, width)
+      val terms = Seq("spark", "customer", "the", "window", "merge",
+        "zzz_absent")
+      val exact = docs.filter(col("doc_id") < 300)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      CmsStream.estimate(s, table, terms, depth, width)
+        .join(exact, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          col("cms_est"))
+        .orderBy("term")
+    },
+
     // ---- Benchmark-contamination detection: corpus docs sharing any
     // 3-gram with the benchmark slice (semi-join on the shingle key — at
     // scale this is the standard n-gram-overlap decontamination pass,
@@ -1390,7 +1439,8 @@ object TextDedup {
     * inlined as literals, cells built from the same one-explode-per-row
     * unnest, estimates as the min over left-joined cells (0 when a cell
     * was never touched), exact counts from a left join on the token. */
-  private def cmsOracle(depth: Int, width: Int, terms: Seq[String]): String = {
+  private def cmsOracle(depth: Int, width: Int, terms: Seq[String],
+      where: String = ""): String = {
     val p = graft.operators.Dedup.minhashP
     def buckets(hExpr: String): String =
       (0 until depth).map { i =>
@@ -1400,7 +1450,7 @@ object TextDedup {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents),
+       |  FROM documents $where),
        |h AS (
        |  SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT % $p AS h
        |  FROM tok),
