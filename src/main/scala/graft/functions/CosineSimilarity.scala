@@ -134,6 +134,7 @@ object GraftFunctions {
   val signBucketsName = "graft_sign_buckets"
   val projectPlanesName = "graft_project_planes"
   val winnowName = "graft_winnow_fingerprints"
+  val subwordName = "graft_subword_tokenize"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -194,6 +195,14 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         winnowName, winnowBuilder, "built-in")
     }
+    ifAbsent(subwordName) {
+      registry.createOrReplaceTempFunction(
+        subwordName, exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$subwordName expects 2 arguments (word, vocab), got ${exprs.length}")
+          SubwordTokenize(exprs(0), exprs(1))
+        }, "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -241,6 +250,12 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function(winnowName, tokens, lit(k), lit(w))
   }
+
+  /** Greedy longest-match subword pieces of one word against a literal
+    * vocabulary (single-char OOV fallback). */
+  def subwordTokenize(word: Column, vocab: Seq[String]): Column =
+    call_function(subwordName, word,
+      org.apache.spark.sql.functions.typedlit(vocab))
 
   /** The one expression builder both deployment paths (temp-function
     * registry and [[GraftExtensions]] injection) share — duplicated

@@ -415,6 +415,41 @@ object TextOps {
         bucket.cast("long").as("bucket"))
   }
 
+  /** Illustrative fixed subword vocabulary for the tokenizer-aware
+    * accounting gate: common English subword units. A production
+    * deployment swaps in a TRAINED vocab (BPE/WordPiece merges
+    * materialized to this literal, exactly how the IVF centroids and
+    * LSH planes are served) — the operator is vocabulary-agnostic. */
+  val demoSubwordVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "ent", "for", "tion", "data",
+    "er", "ed", "an", "re", "on", "at", "en", "es", "or", "te",
+    "of", "be", "in", "he", "to", "it", "ou", "ar", "is", "al",
+    "le", "se", "st", "ro", "om", "us", "ur", "ra", "li", "la")
+
+  /** Tokenizer-aware token accounting: whitespace words segmented into
+    * subword pieces by the native greedy longest-match kernel
+    * ([[graft.functions.SubwordTokenize]]), with per-doc word/subword
+    * counts, fertility (subwords per word — THE tokenizer-efficiency
+    * metric pretraining budgets care about), and an md5 over the full
+    * piece stream so a SQL oracle certifies every piece, not just the
+    * counts. Pure per-row column algebra — zero shuffle at any corpus
+    * size; the vocab rides as a query-constant literal. */
+  def subwordStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = tokens(col(textCol))
+    val pieces = flatten(transform(toks,
+      w => graft.functions.GraftFunctions.subwordTokenize(w, vocab)))
+    df.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        size(pieces).cast("long").as("n_subwords"),
+        md5(concat_ws(" ", pieces)).as("pieces_md5"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 4))
+      .select("doc_id", "n_words", "n_subwords", "fertility", "pieces_md5")
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf
     * variant ln(1 + (N − df + 0.5)/(df + 0.5))) of the top `topK` docs
     * for a FIXED query term set — the retrieval primitive behind

@@ -257,6 +257,21 @@ object TextDedup {
         .orderBy("term")
     },
 
+    // ---- Tokenizer-aware token accounting: whitespace words segmented
+    // into subword pieces by the native greedy longest-match kernel
+    // (MaxMatch — WordPiece inference minus the ## marking; single-char
+    // OOV fallback) against a fixed literal vocab. Per-doc fertility
+    // (subwords/word) is the tokenizer-efficiency metric pretraining
+    // budgets care about; pieces_md5 certifies EVERY piece cross-engine,
+    // not just counts. The oracle replays the greedy rule with a
+    // recursive CTE. Pure per-row algebra, zero shuffle.
+    GQuery(
+      "txt_subword_fertility",
+      subwordOracle(TextOps.demoSubwordVocab)) { (s, dir) =>
+      TextOps.subwordStats(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.demoSubwordVocab).orderBy("doc_id")
+    },
+
     // ---- Streaming Count-Min, replayed: the first CORRECTNESS gate
     // over the streaming family. Seeds the persisted cells table from a
     // base corpus slice, lands two micro-batches through the EXACT
@@ -1439,6 +1454,54 @@ object TextDedup {
     * inlined as literals, cells built from the same one-explode-per-row
     * unnest, estimates as the min over left-joined cells (0 when a cell
     * was never touched), exact counts from a left join on the token. */
+  /** Recursive-CTE replay of the greedy longest-match subword
+    * segmentation: the step peels the same piece the native kernel
+    * takes — the longest vocab entry prefixing the remaining suffix,
+    * else one character — via a literal length-descending COALESCE
+    * chain (no aggregate/correlated subquery in the recursive term, so
+    * any standard SQL engine runs it). Distinct words segment once;
+    * per-doc stats re-join on the word. */
+  private def subwordOracle(vocab: Seq[String]): String = {
+    // longest-first; equal-length distinct pieces cannot both prefix
+    // one suffix, so the chain order within a length is cosmetic
+    val chain = vocab.sortBy(p => (-p.length, p)).map(p =>
+      s"CASE WHEN starts_with(rest, '$p') THEN '$p' END")
+      .mkString(",\n        ")
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, i, t[i] AS w
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, len(t))) AS i FROM toks)),
+       |dw AS (SELECT DISTINCT w FROM w),
+       |seg AS (
+       |  SELECT w, w AS rest, CAST('' AS VARCHAR) AS ps, 0 AS n
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, substring(rest, length(best) + 1),
+       |    CASE WHEN ps = '' THEN best ELSE ps || ' ' || best END,
+       |    n + 1
+       |  FROM (
+       |    SELECT w, rest, ps, n,
+       |      coalesce(
+       |        $chain,
+       |        substring(rest, 1, 1)) AS best
+       |    FROM seg WHERE rest <> '') x),
+       |done AS (SELECT w, ps, n FROM seg WHERE rest = ''),
+       |per AS (
+       |  SELECT t.doc_id, count(*) AS n_words, sum(d.n) AS n_subwords,
+       |    string_agg(d.ps, ' ' ORDER BY t.i) AS pstream
+       |  FROM w t JOIN done d USING (w)
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_subwords AS BIGINT) AS n_subwords,
+       |  round(CAST(n_subwords AS DOUBLE) / n_words, 4) AS fertility,
+       |  md5(pstream) AS pieces_md5
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   private def cmsOracle(depth: Int, width: Int, terms: Seq[String],
       where: String = ""): String = {
     val p = graft.operators.Dedup.minhashP
