@@ -135,6 +135,7 @@ object GraftFunctions {
   val projectPlanesName = "graft_project_planes"
   val winnowName = "graft_winnow_fingerprints"
   val subwordName = "graft_subword_tokenize"
+  val gramBucketsName = "graft_gram_buckets"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -203,6 +204,21 @@ object GraftFunctions {
           SubwordTokenize(exprs(0), exprs(1))
         }, "built-in")
     }
+    ifAbsent(gramBucketsName) {
+      registry.createOrReplaceTempFunction(
+        gramBucketsName, exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$gramBucketsName expects 2 arguments (tokens, buckets), got ${exprs.length}")
+          val b = if (exprs(1).foldable) exprs(1).eval() else null
+          b match {
+            case i: java.lang.Integer => GramBuckets(exprs(0), i.intValue())
+            case l: java.lang.Long if l.longValue().isValidInt =>
+              GramBuckets(exprs(0), l.intValue())
+            case _ => throw new IllegalArgumentException(
+              s"$gramBucketsName buckets must be an int literal, got ${exprs(1)}")
+          }
+        }, "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -256,6 +272,13 @@ object GraftFunctions {
   def subwordTokenize(word: Column, vocab: Seq[String]): Column =
     call_function(subwordName, word,
       org.apache.spark.sql.functions.typedlit(vocab))
+
+  /** Hashed unigram+bigram feature buckets of one token array (the DSIR
+    * feature stream) — one fused md5 pass, no gram strings. */
+  def gramBuckets(tokens: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(gramBucketsName, tokens, lit(buckets))
+  }
 
   /** The one expression builder both deployment paths (temp-function
     * registry and [[GraftExtensions]] injection) share — duplicated

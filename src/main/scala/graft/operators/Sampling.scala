@@ -219,41 +219,45 @@ object Sampling {
     * sum over its gram occurrences of the per-bucket log-likelihood ratio
     * log p_target(b) − log p_raw(b).
     *
-    * Scale shape: one gram explode collapsed by map-side partials into
-    * per-(doc, bucket) counts — the only data-shaped shuffle; the two
-    * feature marginals derive from THAT aggregate (≤ buckets rows, no
-    * second corpus pass), their totals are a one-row scalar cross-join
-    * (the [[temperatureSample]] pattern), and the ratio table joins back
-    * by broadcast. Bounded state everywhere: the bucket space caps the
-    * model at `buckets` cells no matter the vocabulary, which is the
-    * point of hashed DSIR at corpus scale. Deterministic: the md5 bucket
-    * hash makes weights reproducible across runs and engines, so the
-    * whole scorer replays in SQL.
+    * Scale shape: estimate-then-score, two corpus SCANS and zero corpus
+    * shuffles. Pass 1 aggregates the gram stream straight into the
+    * ≤ buckets-row marginals (partial aggregation collapses to the
+    * bucket grid per upstream task); the totals are a one-row scalar
+    * cross-join (the [[temperatureSample]] pattern). Pass 2 broadcasts
+    * the ratio table onto the gram stream and partial-sums per document
+    * map-side, so the only exchange anywhere carries ≤ one row per doc.
+    * Bounded state everywhere: the bucket space caps the model at
+    * `buckets` cells no matter the vocabulary, which is the point of
+    * hashed DSIR at corpus scale. Deterministic: the md5 bucket hash
+    * makes weights reproducible across runs and engines, so the whole
+    * scorer replays in SQL.
     *
     * Returns (doc_id, is_tgt, dsir_weight) for every doc with ≥1 token;
     * rank non-target rows by weight descending to select. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // fused kernel: one md5 pass per doc over the token bytes — no gram
+    // strings, no hex round-trip (DsirPeek: ~8 s/pass composed vs ~1 s
+    // fused at 10× bench sf, and this stream is scanned twice below)
     val grams = df
       .select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
         TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), col("is_tgt"), explode(concat(
-        col("toks"),
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - lit(1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
-          .otherwise(array()))).as("w"))
       .select(col("doc_id"), col("is_tgt"),
-        pmod(hash60(col("w")), lit(buckets.toLong)).as("b"))
-    // the only data-shaped exchange; is_tgt is constant per doc so adding
-    // it to the key does not widen the aggregate
-    val g = grams.groupBy("doc_id", "is_tgt", "b")
-      .agg(count(lit(1)).as("c"))
-    val marg = g.groupBy("b").agg(
-      sum(col("c")).as("raw_n"),
-      sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("tgt_n"))
+        explode(graft.functions.GraftFunctions.gramBuckets(
+          col("toks"), buckets)).as("b"))
+    // Model build: ONE bounded aggregate straight off the gram stream —
+    // partial aggregation collapses to ≤ buckets rows per upstream task,
+    // so the exchange carries O(buckets × tasks) rows, never the corpus.
+    // (The r11 shape first aggregated per-(doc, bucket) counts — a
+    // corpus-scale shuffle of ~#grams rows paid TWICE, once into the
+    // marginals and once into the per-doc weights; measured 20.2 s at
+    // 10× bench sf against 4.6 s for this two-scan shape.)
+    val marg = grams.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), lit(1L)).otherwise(lit(0L))).as("tgt_n"))
     val tot = marg.agg(sum(col("raw_n")).as("raw_tot"),
       sum(col("tgt_n")).as("tgt_tot"))
     val lam = marg.crossJoin(broadcast(tot)) // 1 row — scalar-subquery pattern
@@ -262,9 +266,15 @@ object Sampling {
             / (col("tgt_tot") + lit(buckets)).cast("double"))
           - log((col("raw_n") + lit(1)).cast("double")
             / (col("raw_tot") + lit(buckets)).cast("double"))).as("lam"))
-    g.join(broadcast(lam), Seq("b"))
+    // Rescore: broadcast the ≤ buckets-row model onto a second pass of
+    // the gram stream; the per-doc partial sum collapses map-side to one
+    // row per document, so the only remaining exchange is ≤ 1 row/doc.
+    // Two corpus SCANS and zero corpus shuffles — the DSIR paper's own
+    // estimate-then-score shape, and scans parallelize where shuffles
+    // serialize through disk at 100 TB.
+    grams.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"), col("is_tgt"))
-      .agg(sum(col("c").cast("double") * col("lam")).as("dsir_weight"))
+      .agg(sum(col("lam")).as("dsir_weight"))
   }
 
   /** Greedy sequence packing — the "pack documents into ≤ maxLen-token

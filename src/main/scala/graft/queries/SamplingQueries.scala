@@ -279,23 +279,22 @@ object SamplingQueries {
         |  FROM (SELECT doc_id, is_tgt, t,
         |          unnest(generate_series(1, len(t) - 1)) AS i
         |        FROM toks WHERE len(t) >= 2) x),
-        |g AS (
+        |gb AS (
         |  SELECT doc_id, is_tgt,
-        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS b,
-        |    count(*) AS c
-        |  FROM grams GROUP BY 1, 2, 3),
+        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS b
+        |  FROM grams),
         |marg AS (
-        |  SELECT b, sum(c) AS raw_n,
-        |    sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt_n
-        |  FROM g GROUP BY b),
+        |  SELECT b, count(*) AS raw_n,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+        |  FROM gb GROUP BY b),
         |tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM marg),
         |lam AS (
         |  SELECT b,
         |    ln((tgt_n + 1) / (tgt_tot + 256.0))
         |      - ln((raw_n + 1) / (raw_tot + 256.0)) AS lam
         |  FROM marg, tot)
-        |SELECT doc_id, round(sum(c * lam), 4) AS dsir_w
-        |FROM g JOIN lam USING (b)
+        |SELECT doc_id, round(sum(lam), 4) AS dsir_w
+        |FROM gb JOIN lam USING (b)
         |WHERE NOT is_tgt
         |GROUP BY doc_id
         |ORDER BY dsir_w DESC, doc_id
