@@ -51,11 +51,14 @@ case class SubwordTokenize(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable array<string> vocabulary, " +
           s"got ${right.dataType.simpleString}")
+    else if (right.eval() == null) // a typed NULL literal is foldable
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName vocabulary must not evaluate to NULL")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   override def prettyName: String = "graft_subword_tokenize"
 

@@ -232,7 +232,7 @@ object TotalOrder {
       val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
       if (nb > 1) {
         val key = (df.semanticHash(), img.toString, nb)
-        if (!spark.catalog.tableExists(boundaryTableFor(key))) {
+        if (!spark.catalog.tableExists(boundaryTableFor(key))) try {
           val probs = (1 until nb).map(i => lit(i.toDouble / nb))
           val values = boundariesFor(df, img, nb, probs)
           // a previous JVM's managed location may survive its
@@ -241,6 +241,17 @@ object TotalOrder {
           import spark.implicits._
           Seq(values).toDF("_bnds")
             .write.mode("overwrite").saveAsTable(boundaryTableFor(key))
+        } catch {
+          // boundary values are correctness-neutral, so a session
+          // without warehouse write access must not fail the query the
+          // persist was accelerating — consumers degrade to the session
+          // memo / sketch-scan tiers (boundariesFor memoized the draw
+          // above, so the current session pays nothing extra). NonFatal
+          // only: OOM/interrupts propagate.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println("graft.TotalOrder: boundary persist " +
+              s"${boundaryTableFor(key)} failed (degrading to the " +
+              s"sketch fallback): $e")
         }
       }
     }
@@ -392,7 +403,11 @@ object TotalOrder {
   val TopKLimitMax: Long = 1L << 20
 
   def globalRowNumber(df: DataFrame, orderCol: String, out: String,
-      upperBound: Option[Long]): DataFrame = upperBound match {
+      upperBound: Option[Long]): DataFrame = {
+    upperBound.foreach(b => require(b >= 1,
+      s"globalRowNumber upper bound must be >= 1, got $b (an empty " +
+        "result wants limit(0) at the call site, not a rank bound)"))
+    upperBound match {
     case Some(b) if b <= TopKLimitMax =>
       // Rank-with-LIMIT is a top-k: ONE scan with a per-partition heap
       // (TakeOrderedAndProject) instead of the two-pass prune's two
@@ -428,7 +443,7 @@ object TotalOrder {
       offsets
         .withColumn(out, (col("_prefix") + row_number().over(w)).cast("long"))
         .drop("_pid", "_prefix")
-  }
+  }}
 
   /** Global running sum of `valueCol` over `orderCol` order as `out`.
     * `inclusive = true` is `ROWS UNBOUNDED PRECEDING AND CURRENT ROW`;

@@ -116,6 +116,35 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Token-budget shard in SUBWORD tokens: the budget primitive
+    // real pretraining runs use — a shard of N TOKENIZER tokens, not N
+    // whitespace words (fertility makes the two budgets diverge per-doc,
+    // so the kept set genuinely differs from smp_token_budget's). Per-doc
+    // counts come from the native greedy longest-match kernel
+    // (SubwordTokenize — the same piece stream txt_subword_fertility
+    // md5-certifies); the budget cut is the same scale-safe TotalOrder
+    // cum-sum. The oracle replays segmentation with the recursive CTE
+    // and the cut with a window. Pure per-row counting + the budget's
+    // bucket-pruned window — no new shuffle vs the whitespace gate.
+    GQuery(
+      "smp_token_budget_subword",
+      TextDedup.subwordBudgetOracle(TextOps.demoSubwordVocab,
+        budget = 12000L)) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = TextOps.tokens(col("text"))
+      val nSub = size(flatten(transform(toks, w =>
+        graft.functions.GraftFunctions.subwordTokenize(
+          w, TextOps.demoSubwordVocab)))).cast("long")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), nSub.as("n_toks"))
+      // land the order boundaries as versioned catalog state once —
+      // same ingest-time step as the whitespace budget gate
+      graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
+      Sampling.tokenBudget(base, "doc_id", "n_toks", budget = 12000L)
+        .select("doc_id", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
     // ---- Full-corpus sharding into consecutive ~5k-token chunks: every
     // doc gets exactly one shard id (floor of preceding token total /
     // budget) — the "cut the corpus into training shards" primitive.

@@ -321,6 +321,76 @@ object TextDedup {
         .orderBy("term")
     },
 
+    // ---- Streaming exact dedup, replayed: the BloomStream twin of
+    // stream_cms_replay. Seeds the persisted keys table from a base
+    // corpus slice, runs two micro-batches through the EXACT production
+    // trigger body (BloomStream.trigger — what foreachBatch invokes),
+    // then REPLAYS batch 0 under the at-least-once contract. Batches are
+    // built to exercise every verdict class: batch 0 carries seed
+    // duplicates (must be rejected by the seed rows, whose src_batch of
+    // -1 no replay guard can exclude) plus new keys; batch 1 carries
+    // seed duplicates, duplicates of batch 0's SURVIVORS (proves batch
+    // 0's append is visible to later verification), and new keys. The
+    // replay certifies BOTH guards at once: verification must exclude
+    // src_batch = 0 rows (else the replayed batch anti-joins against its
+    // own survivors and delivers nothing → n_deliveries 1 ≠ 2 → hash
+    // break) while the key append must skip them (else the keys table
+    // gains duplicate rows → n_key_rows 2 ≠ 1 → hash break). Deliveries
+    // are frozen at delivery time (localCheckpoint — the sink's
+    // at-least-once view), counted distributedly; no driver collect.
+    // Idempotent across runs: re-running re-delivers the same survivors
+    // and appends nothing, so the counts recompute identically; a fresh
+    // JVM re-seeds after reclaiming the orphaned warehouse dir.
+    GQuery(
+      "stream_bloom_replay",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id < 100 THEN 0
+        |            WHEN doc_id < 200 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_deliveries,
+        |  CAST(1 AS BIGINT) AS n_key_rows
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.streaming.BloomStream
+      val (mBits, k) = (131072, 5)
+      val keys = t(s, dir, "documents").select(col("doc_id"))
+      def slice(lo: Int, hi: Int) =
+        keys.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val crc = new java.util.zip.CRC32()
+      crc.update(dir.getBytes("UTF-8"))
+      val table = f"graft_bloom_stream_${crc.getValue}%08x"
+      if (!s.catalog.tableExists(table)) {
+        // a previous JVM's managed dir may outlive its catalog entry
+        graft.core.Warehouse.reclaimOrphan(s, table)
+        BloomStream.seed(slice(0, 100), "doc_id", table)
+      }
+      val state = BloomStream.recover(s, table, "doc_id", mBits, k)
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      val sink = (df: org.apache.spark.sql.DataFrame) => {
+        delivered += df.localCheckpoint(true); ()
+      }
+      val b0 = slice(100, 200).unionByName(slice(0, 20))
+      val b1 = slice(200, 300).unionByName(slice(120, 140))
+        .unionByName(slice(20, 40))
+      BloomStream.trigger(b0, 0L, "doc_id", table, state, sink)
+      BloomStream.trigger(b1, 1L, "doc_id", table, state, sink)
+      // at-least-once replay of batch 0 — same survivors, no new keys
+      BloomStream.trigger(b0, 0L, "doc_id", table, state, sink)
+      val counts = delivered.reduceOption(_.unionByName(_))
+        .getOrElse(keys.limit(0))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_deliveries"))
+      s.catalog.refreshTable(table)
+      val keyRows = s.table(table)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_key_rows"))
+      keys.filter(col("doc_id") < 300)
+        .join(counts, Seq("doc_id"), "left")
+        .join(keyRows, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_deliveries"), lit(0L)).as("n_deliveries"),
+          coalesce(col("n_key_rows"), lit(0L)).as("n_key_rows"))
+        .orderBy("doc_id")
+    },
+
     // ---- Benchmark-contamination detection: corpus docs sharing any
     // 3-gram with the benchmark slice (semi-join on the shingle key — at
     // scale this is the standard n-gram-overlap decontamination pass,
@@ -1461,14 +1531,20 @@ object TextDedup {
     * chain (no aggregate/correlated subquery in the recursive term, so
     * any standard SQL engine runs it). Distinct words segment once;
     * per-doc stats re-join on the word. */
-  private def subwordOracle(vocab: Seq[String]): String = {
+  /** The shared greedy-segmentation CTE chain (`toks`/`w`/`dw`/`seg`/
+    * `done`) of the subword oracles, WITHOUT the leading
+    * `WITH RECURSIVE` — `done` holds per-distinct-word pieces (`ps`) and
+    * piece count (`n`). */
+  private def subwordSegCtes(vocab: Seq[String]): String = {
     // longest-first; equal-length distinct pieces cannot both prefix
-    // one suffix, so the chain order within a length is cosmetic
-    val chain = vocab.sortBy(p => (-p.length, p)).map(p =>
-      s"CASE WHEN starts_with(rest, '$p') THEN '$p' END")
-      .mkString(",\n        ")
-    s"""WITH RECURSIVE
-       |toks AS (
+    // one suffix, so the chain order within a length is cosmetic.
+    // Pieces are SQL-escaped — the operator is vocabulary-agnostic, so
+    // a vocab entry containing a quote must not break the generated SQL.
+    val chain = vocab.sortBy(p => (-p.length, p)).map { p =>
+      val q = p.replace("'", "''")
+      s"CASE WHEN starts_with(rest, '$q') THEN '$q' END"
+    }.mkString(",\n        ")
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
        |w AS (
@@ -1489,7 +1565,12 @@ object TextDedup {
        |        $chain,
        |        substring(rest, 1, 1)) AS best
        |    FROM seg WHERE rest <> '') x),
-       |done AS (SELECT w, ps, n FROM seg WHERE rest = ''),
+       |done AS (SELECT w, ps, n FROM seg WHERE rest = '')""".stripMargin
+  }
+
+  private def subwordOracle(vocab: Seq[String]): String =
+    s"""WITH RECURSIVE
+       |${subwordSegCtes(vocab)},
        |per AS (
        |  SELECT t.doc_id, count(*) AS n_words, sum(d.n) AS n_subwords,
        |    string_agg(d.ps, ' ' ORDER BY t.i) AS pstream
@@ -1500,7 +1581,25 @@ object TextDedup {
        |  round(CAST(n_subwords AS DOUBLE) / n_words, 4) AS fertility,
        |  md5(pstream) AS pieces_md5
        |FROM per ORDER BY doc_id""".stripMargin
-  }
+
+  /** Recursive-CTE replay of the SUBWORD token-budget shard: the same
+    * greedy segmentation chain feeding the running-total budget cut of
+    * smp_token_budget — docs in id order kept while the cumulative
+    * subword count stays within the budget. */
+  private[queries] def subwordBudgetOracle(vocab: Seq[String],
+      budget: Long): String =
+    s"""WITH RECURSIVE
+       |${subwordSegCtes(vocab)},
+       |per AS (
+       |  SELECT t.doc_id, sum(d.n) AS n_sub
+       |  FROM w t JOIN done d USING (w)
+       |  GROUP BY t.doc_id),
+       |b AS (
+       |  SELECT doc_id, sum(n_sub) OVER (ORDER BY doc_id) AS cum_tokens
+       |  FROM per)
+       |SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM b WHERE cum_tokens <= $budget
+       |ORDER BY doc_id""".stripMargin
 
   private def cmsOracle(depth: Int, width: Int, terms: Seq[String],
       where: String = ""): String = {

@@ -230,6 +230,7 @@ class PlanAuditSpec extends SparkSpec {
     // scalar-subquery pattern, same justification as q20). A future
     // accidental cross join elsewhere in those plans still flags.
     val totalOrderGates = Set("etl_surrogate_keys", "smp_token_budget",
+      "smp_token_budget_subword", // same cum-sum machinery, subword counts
       "smp_token_shards", "smp_pack_sequences",
       "txt_ppl_buckets") // TotalOrder rank over the cached score frame
     // Bloom gates likewise get a SCOPED exemption: the only admissible

@@ -57,6 +57,38 @@ class CmsStreamSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(CmsStream.NoBatch))
   }
 
+  test("compact crash-orphan: a half-written next version stays invisible") {
+    import graft.core.VersionedTable
+    val table = "cms_stream_spec_d"
+    val b0 = docs.filter(col("doc_id") < 70)
+    val b1 = docs.filter(col("doc_id") >= 70 && col("doc_id") < 140)
+    CmsStream.trigger(b0, 0L, "text", table, depth, width)
+    CmsStream.trigger(b1, 1L, "text", table, depth, width)
+    val before = estMap(table)
+    assert(VersionedTable.physicalTable(spark, table) === s"${table}_v1")
+
+    // a compact that crashed after writing v2 but BEFORE the view
+    // retarget: the orphan must capture neither reads nor the replay
+    // guard nor appends — the view still defines the current version
+    spark.table(table).limit(1).write.saveAsTable(s"${table}_v2")
+    assert(VersionedTable.physicalTable(spark, table) === s"${table}_v1",
+      "an orphan next-version table must not capture reads/appends")
+    assert(estMap(table) == before, "orphan must not change estimates")
+    // post-crash replay of a landed id is still skipped (guard reads v1)
+    CmsStream.trigger(b0, 0L, "text", table, depth, width)
+    assert(estMap(table) == before,
+      "replay after a crashed compact must not double-count")
+
+    // ...and the next successful compact overwrites + supersedes it
+    CmsStream.compact(spark, table)
+    assert(VersionedTable.physicalTable(spark, table) === s"${table}_v2")
+    assert(estMap(table) == before, "re-run compact must serve the same state")
+    assert(!spark.catalog.tableExists(s"${table}_v1"),
+      "the superseded version must be dropped after the swap")
+    assert(spark.table(table).select("src_batch").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(CmsStream.NoBatch))
+  }
+
   test("seed composes with later triggers") {
     val table = "cms_stream_spec_c"
     CmsStream.seed(docs.filter(col("doc_id") < 100), "text", table, depth, width)
