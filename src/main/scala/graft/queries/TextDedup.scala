@@ -391,6 +391,139 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Streaming near-dup dedup against a GROWING band index,
+    // replayed: the most production-like streaming path (check →
+    // deliver → append per trigger, batch N deduped against the corpus
+    // AND every earlier batch's survivors). Runs two micro-batches plus
+    // an at-least-once replay of batch 0 through the EXACT production
+    // trigger body (EventStreams.growIndexTrigger). The index uses the
+    // portable MinHash family, so the oracle replays the full story in
+    // SQL: batch-0 survivors = docs with no band-collision pair at
+    // jaccard >= 0.8 vs the corpus; batch-1 survivors check against
+    // corpus ∪ batch-0 survivors. The replay certifies both guards:
+    // the check must exclude same-batch index rows (else the replayed
+    // batch anti-joins its own appended survivors → n_deliveries 1 ≠ 2)
+    // and the append must skip them (else duplicate token-set rows →
+    // n_index_rows 2 ≠ 1). Deterministic across runs BY RESET, not by
+    // guard-skip: the grown index is the stream's OUTPUT, so build()
+    // re-lands the corpus-only index as the next physical version
+    // (atomic retarget supersedes the previous run's appends) and every
+    // run replays the same run.
+    GQuery(
+      "stream_banddedup_replay",
+      s"""WITH corp AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |b0d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 300 AND doc_id < 350),
+         |b1d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 350 AND doc_id < 400),
+         |${sketchCoreCtes("corp", "_c", 64, 16)},
+         |${sketchCoreCtes("b0d", "_0", 64, 16)},
+         |${sketchCoreCtes("b1d", "_1", 64, 16)},
+         |szc AS (SELECT doc_id, count(*) AS n FROM w_c GROUP BY doc_id),
+         |sz0 AS (SELECT doc_id, count(*) AS n FROM w_0 GROUP BY doc_id),
+         |sz1 AS (SELECT doc_id, count(*) AS n FROM w_1 GROUP BY doc_id),
+         |c0 AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+         |  FROM bands_0 a JOIN bands_c b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+         |i0 AS (
+         |  SELECT c.id_new, c.id_ref, count(*) AS c
+         |  FROM c0 c
+         |  JOIN w_0 a ON a.doc_id = c.id_new
+         |  JOIN w_c b ON b.doc_id = c.id_ref AND a.w = b.w
+         |  GROUP BY c.id_new, c.id_ref),
+         |rej0 AS (
+         |  SELECT DISTINCT id_new FROM i0
+         |  JOIN sz0 s1 ON s1.doc_id = id_new
+         |  JOIN szc s2 ON s2.doc_id = id_ref
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+         |surv0 AS (
+         |  SELECT doc_id FROM b0d
+         |  WHERE doc_id NOT IN (SELECT id_new FROM rej0)),
+         |refb AS (
+         |  SELECT doc_id, band_idx, band_hash FROM bands_c
+         |  UNION ALL
+         |  SELECT doc_id, band_idx, band_hash FROM bands_0
+         |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
+         |refw AS (
+         |  SELECT doc_id, w FROM w_c
+         |  UNION ALL
+         |  SELECT doc_id, w FROM w_0
+         |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
+         |refsz AS (
+         |  SELECT doc_id, n FROM szc
+         |  UNION ALL
+         |  SELECT doc_id, n FROM sz0
+         |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
+         |c1 AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+         |  FROM bands_1 a JOIN refb b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+         |i1 AS (
+         |  SELECT c.id_new, c.id_ref, count(*) AS c
+         |  FROM c1 c
+         |  JOIN w_1 a ON a.doc_id = c.id_new
+         |  JOIN refw b ON b.doc_id = c.id_ref AND a.w = b.w
+         |  GROUP BY c.id_new, c.id_ref),
+         |rej1 AS (
+         |  SELECT DISTINCT id_new FROM i1
+         |  JOIN sz1 s1 ON s1.doc_id = id_new
+         |  JOIN refsz s2 ON s2.doc_id = id_ref
+         |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+         |surv1 AS (
+         |  SELECT doc_id FROM b1d
+         |  WHERE doc_id NOT IN (SELECT id_new FROM rej1))
+         |SELECT d.doc_id,
+         |  CAST(CASE
+         |    WHEN d.doc_id IN (SELECT doc_id FROM surv0) THEN 2
+         |    WHEN d.doc_id IN (SELECT doc_id FROM surv1) THEN 1
+         |    ELSE 0 END AS BIGINT) AS n_deliveries,
+         |  CAST(CASE
+         |    WHEN d.doc_id IN (SELECT doc_id FROM surv0)
+         |      OR d.doc_id IN (SELECT doc_id FROM surv1) THEN 1
+         |    ELSE 0 END AS BIGINT) AS n_index_rows
+         |FROM documents d WHERE d.doc_id >= 300 AND d.doc_id < 400
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def slice(lo: Int, hi: Int) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val crc = new java.util.zip.CRC32()
+      crc.update(dir.getBytes("UTF-8"))
+      val idx = f"gbsr_${crc.getValue}%08x"
+      graft.operators.BandIndex.build(slice(0, 300), "doc_id", "text",
+        numHashes = 64, bands = 16, buckets = 8, idx)
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      val sink = (df: org.apache.spark.sql.DataFrame) => {
+        delivered += df.select("doc_id").localCheckpoint(true); ()
+      }
+      val (b0, b1) = (slice(300, 350), slice(350, 400))
+      EventStreams.growIndexTrigger(b0, 0L, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
+      // at-least-once replay of batch 0 before the next batch lands —
+      // the trigger-retry case foreachBatch actually produces
+      EventStreams.growIndexTrigger(b0, 0L, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
+      EventStreams.growIndexTrigger(b1, 1L, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
+      val counts = delivered.reduceOption(_.unionByName(_))
+        .getOrElse(docs.select("doc_id").limit(0))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_deliveries"))
+      val idxRows = graft.core.VersionedTable.refreshed(s, s"${idx}_toks")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_index_rows"))
+      slice(300, 400).select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .join(idxRows, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_deliveries"), lit(0L)).as("n_deliveries"),
+          coalesce(col("n_index_rows"), lit(0L)).as("n_index_rows"))
+        .orderBy("doc_id")
+    },
+
     // ---- Benchmark-contamination detection: corpus docs sharing any
     // 3-gram with the benchmark slice (semi-join on the shingle key — at
     // scale this is the standard n-gram-overlap decontamination pass,
