@@ -135,7 +135,9 @@ object GraftFunctions {
   val projectPlanesName = "graft_project_planes"
   val winnowName = "graft_winnow_fingerprints"
   val subwordName = "graft_subword_tokenize"
+  val subwordCountName = "graft_subword_count"
   val gramBucketsName = "graft_gram_buckets"
+  val minhashBandsName = "graft_minhash_bands"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -204,6 +206,15 @@ object GraftFunctions {
           SubwordTokenize(exprs(0), exprs(1))
         }, "built-in")
     }
+    ifAbsent(subwordCountName) {
+      registry.createOrReplaceTempFunction(
+        subwordCountName, exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$subwordCountName expects 2 arguments (tokens, vocab), " +
+              s"got ${exprs.length}")
+          SubwordCount(exprs(0), exprs(1))
+        }, "built-in")
+    }
     ifAbsent(gramBucketsName) {
       registry.createOrReplaceTempFunction(
         gramBucketsName, exprs => {
@@ -217,6 +228,23 @@ object GraftFunctions {
             case _ => throw new IllegalArgumentException(
               s"$gramBucketsName buckets must be an int literal, got ${exprs(1)}")
           }
+        }, "built-in")
+    }
+    ifAbsent(minhashBandsName) {
+      registry.createOrReplaceTempFunction(
+        minhashBandsName, exprs => {
+          if (exprs.length != 3) throw new IllegalArgumentException(
+            s"$minhashBandsName expects 3 arguments (tokens, numHashes, " +
+              s"bands), got ${exprs.length}")
+          def intLit(e: Expression, what: String): Int =
+            (if (e.foldable) e.eval() else null) match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+              case _ => throw new IllegalArgumentException(
+                s"$minhashBandsName $what must be an int literal, got $e")
+            }
+          MinhashBands(exprs(0), intLit(exprs(1), "numHashes"),
+            intLit(exprs(2), "bands"))
         }, "built-in")
     }
     ifAbsent(minhashName) {
@@ -273,11 +301,26 @@ object GraftFunctions {
     call_function(subwordName, word,
       org.apache.spark.sql.functions.typedlit(vocab))
 
+  /** Total subword-piece count of one token array under the same greedy
+    * rule — the allocation-free budget/accounting form of
+    * [[subwordTokenize]] (one call per document, no piece strings). */
+  def subwordCount(tokens: Column, vocab: Seq[String]): Column =
+    call_function(subwordCountName, tokens,
+      org.apache.spark.sql.functions.typedlit(vocab))
+
   /** Hashed unigram+bigram feature buckets of one token array (the DSIR
     * feature stream) — one fused md5 pass, no gram strings. */
   def gramBuckets(tokens: Column, buckets: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(gramBucketsName, tokens, lit(buckets))
+  }
+
+  /** Portable-MinHash band hashes of one distinct-token array — the
+    * fused [[MinhashBands]] kernel (base md5 + all affine lanes + band
+    * md5s in one pass per document). */
+  def minhashBands(tokens: Column, numHashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(minhashBandsName, tokens, lit(numHashes), lit(bands))
   }
 
   /** The one expression builder both deployment paths (temp-function

@@ -175,7 +175,7 @@ object BandIndex {
       numHashes: Int, bands: Int, buckets: Int, name: String,
       mode: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val (bandsDf, sets) = Dedup.portableSketch(docs, idCol, textCol,
+    val (bandsDf, tokArr) = Dedup.portableSketch(docs, idCol, textCol,
       numHashes, bands)
     // per-batch idempotency guard (see append scaladoc): drop ids this
     // batch already landed in the target table during a replayed trigger
@@ -208,20 +208,20 @@ object BandIndex {
         s"${name}_bands", Seq("band_idx", "band_hash"))
       write(
         unseen(
-          // sort_array is part of the index FORMAT contract: matches()
-          // verifies with the merge-walk kernel (IntersectCountSorted),
-          // which under-counts on unsorted arrays. An index persisted by a
-          // pre-sort build must be rebuilt (build() or compact-as-rebuild)
-          // before this version reads it.
-          sets.groupBy("doc_id")
-            .agg(sort_array(collect_set(col("w"))).as("toks"),
-              count(lit(1)).as("n_toks")),
+          // the sketch's per-doc arrays are ALREADY sorted — part of the
+          // index FORMAT contract: matches() verifies with the merge-walk
+          // kernel (IntersectCountSorted), which under-counts on unsorted
+          // arrays. An index persisted by a pre-sort build must be
+          // rebuilt (build() or compact-as-rebuild) before this version
+          // reads it.
+          tokArr.select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("n_toks")),
           s"${name}_toks").withColumn("src_batch", lit(batchId)),
         s"${name}_toks", Seq("doc_id"))
     } finally {
       // deployment lifecycle: build/append run outside the query
       // harness, so the sketch caches must not outlive the write
-      bandsDf.unpersist(); sets.unpersist()
+      bandsDf.unpersist(); tokArr.unpersist()
     }
   }
 
@@ -280,9 +280,9 @@ object BandIndex {
   def matches(newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double, name: String,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
+    val (newBands, newToks) = Dedup.portableSketch(newDocs, idCol, textCol,
       numHashes, bands)
-    matchesFrom(newBands, newSets, threshold, name, excludeBatch)
+    matchesFrom(newBands, newToks, threshold, name, excludeBatch)
   }
 
   /** The index-join tail of [[matches]], split out so callers that own the
@@ -295,7 +295,7 @@ object BandIndex {
     * The filter is a cheap column predicate on the bucketed scans (and
     * file-prunable via parquet stats, src_batch being constant per file);
     * bucketing is unaffected. */
-  private def matchesFrom(newBands: DataFrame, newSets: DataFrame,
+  private def matchesFrom(newBands: DataFrame, newToks: DataFrame,
       threshold: Double, name: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newBands.sparkSession
@@ -312,9 +312,8 @@ object BandIndex {
       .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_ref"),
         col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
       .distinct()
-    val newArr = newSets.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("w"))).as("toks1"))
-      .withColumnRenamed("doc_id", "id_new")
+    val newArr = newToks.select(col("doc_id").as("id_new"),
+      col("toks").as("toks1"))
     val refArr = refToks
       .select(col("doc_id").as("id_ref"), col("toks").as("toks2"))
     Dedup.crossVerify(cands, newArr, refArr, threshold)
@@ -341,13 +340,13 @@ object BandIndex {
       textCol: String, numHashes: Int, bands: Int, threshold: Double,
       name: String, excludeBatch: Option[Long] = None)
       (use: DataFrame => Unit): Unit = {
-    val (newBands, newSets) = Dedup.portableSketch(newDocs, idCol, textCol,
+    val (newBands, newToks) = Dedup.portableSketch(newDocs, idCol, textCol,
       numHashes, bands)
     val survivors = newDocs.join(
-      matchesFrom(newBands, newSets, threshold, name, excludeBatch)
+      matchesFrom(newBands, newToks, threshold, name, excludeBatch)
         .select(col("id_new").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
     try use(survivors)
-    finally { newBands.unpersist(); newSets.unpersist() }
+    finally { newBands.unpersist(); newToks.unpersist() }
   }
 }

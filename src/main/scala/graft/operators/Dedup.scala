@@ -71,9 +71,15 @@ object Dedup {
       // explode — the output is the same distinct (doc_id, w) set, but
       // without the global .distinct(), which shuffled every shingle
       // occurrence of the corpus just to dedup within single documents
-      .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - lit(n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("w"))
+      .select(col("doc_id"), explode(distinctShingles(col("toks"), n)).as("w"))
+
+  /** Distinct n-shingle array of one doc's token-array column — the
+    * per-row set [[shingleSet]] explodes and [[portableSketch]] keeps
+    * whole. */
+  private def distinctShingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** All-pairs Jaccard over a token/shingle set frame (columns doc_id, w):
     * |A∩B| via self-equi-join on the token, sizes via a broadcastable
@@ -367,25 +373,25 @@ object Dedup {
         minhashSignaturesAgg(sets, numHashes), numHashes, bands,
         carryAll = true))
     verifyCandidates(lshCandidatesFirstCollision(bandsDf, threshold),
-      sets, threshold)
+      sets.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("w"))).as("toks")),
+      threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs — the shared tail of
     * every minhash pipeline (production and oracle-portable MUST stay
     * byte-identical here, or the portable gate stops mirroring the
-    * production path). Attaches each doc's distinct-token array with
-    * plain joins (no broadcast hint — the per-doc array table is
-    * corpus-sized at scale; AQE broadcasts it only when it fits) and
-    * counts the intersection with the fused codegen kernel
-    * ([[graft.functions.IntersectCount]]; `size(array_intersect(...))`
-    * would allocate an intermediate array per candidate pair). */
-  private def verifyCandidates(cands: DataFrame, sets: DataFrame,
+    * production path). `tokArr` is the per-doc SORTED distinct-token
+    * array frame `(doc_id, toks)` — the portable sketch serves it
+    * directly; the xxhash64 path aggregates it from its exploded set
+    * frame. Attaches each doc's array with plain joins (no broadcast
+    * hint — the per-doc array table is corpus-sized at scale; AQE
+    * broadcasts it only when it fits) and counts the intersection with
+    * the fused codegen kernel ([[graft.functions.IntersectCount]];
+    * `size(array_intersect(...))` would allocate an intermediate array
+    * per candidate pair). */
+  private def verifyCandidates(cands: DataFrame, tokArr: DataFrame,
       threshold: Double): DataFrame = {
-    // sort_array at build: one corpus-sized sort buys an allocation-free
-    // merge-walk kernel on the candidate-sized (quadratic-in-density)
-    // verification loop — see IntersectCountSorted's contract
-    val tokArr = sets.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("w"))).as("toks"))
     cands
       // Length filter (PPJoin/AllPairs-style prune): J(A,B) >= t implies
       // min(|A|,|B|) / max(|A|,|B|) >= t, so size-mismatched candidates
@@ -445,39 +451,54 @@ object Dedup {
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double,
       shingleN: Int = 1): DataFrame = {
-    val (bandsDf, sets) =
+    val (bandsDf, tokArr) =
       portableSketch(df, idCol, textCol, numHashes, bands, shingleN,
         carryAll = true)
     verifyCandidates(lshCandidatesFirstCollision(bandsDf, threshold),
-      sets, threshold)
+      tokArr, threshold)
   }
 
   /** The portable-family sketch shared by the self-dedup and incremental
-    * pipelines: tokenize → base hash → affine signatures → md5 band
-    * hashes. Returns (band frame, token-set frame); both are materialized
-    * once ([[CacheOnce]], harness-scoped lifecycle) because each feeds
-    * two consumers downstream — and `df` itself may be an expensive
-    * upstream composite. */
+    * pipelines: per-row sorted distinct-token (or shingle) array → the
+    * fused [[graft.functions.MinhashBands]] kernel (base md5 + all
+    * affine lanes + band md5s in one pass per document) → posexploded
+    * band rows. Returns (band frame, per-doc token-array frame
+    * `(doc_id, toks)`); both are materialized once ([[CacheOnce]],
+    * harness-scoped lifecycle) because each feeds two consumers
+    * downstream — and `df` itself may be an expensive upstream composite.
+    *
+    * Scale shape: ZERO corpus exchanges before the band join. The former
+    * shape exploded a corpus-wide (doc, token) stream, paid a per-token
+    * md5→hex→conv round-trip plus a 64-buffer min hash-aggregate, and
+    * then RE-aggregated the same stream into verification arrays; now
+    * the within-document distinct set is per-row column algebra, the
+    * signature+banding is one kernel call per document (byte-parity with
+    * the SQL replay — spec-pinned in MinhashBandsSpec), and the SAME
+    * cached array frame feeds the exact-Jaccard verification tail. */
   private[operators] def portableSketch(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, bands: Int,
       shingleN: Int = 1, carryAll: Boolean = false): (DataFrame, DataFrame) = {
-    // materialized once: feeds the signature agg AND the verification arrays
-    val sets = CacheOnce(
-      if (shingleN > 1) shingleSet(df, idCol, textCol, shingleN)
-      else tokenSet(df, idCol, textCol))
-    // one md5 per token; the numHashes permutations are affine transforms
-    // of the base hash (see affineA/affineC above)
-    val sigAggs = (0 until numHashes).map(i =>
-      min((lit(affineA(i)) * col("bh") + lit(affineC(i))) % minhashP)
-        .as(s"sig_$i")) :+
-      count(lit(1)).as("n_toks")
-    val sigs = sets
-      .withColumn("bh", graft.operators.Sampling.hash60(col("w")) % minhashP)
-      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandsDf = CacheOnce(bandedExplode(sigs, numHashes, bands,
-        i => col(s"sig_$i"),
-        (slice, _) => md5(concat_ws(",", slice: _*)), carryAll))
-    (bandsDf, sets)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // sort_array at build: one per-row sort buys the allocation-free
+    // merge-walk verification kernel (IntersectCountSorted's contract)
+    val perDoc =
+      if (shingleN > 1)
+        df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("t"))
+          .filter(size(col("t")) >= shingleN)
+          .select(col("doc_id"),
+            sort_array(distinctShingles(col("t"), shingleN)).as("toks"))
+      else
+        df.select(col(idCol).as("doc_id"),
+          sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
+    val tokArr = CacheOnce(perDoc)
+    val exploded = tokArr
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        graft.functions.GraftFunctions.minhashBands(col("toks"),
+          numHashes, bands).as("bhs"))
+      .select(col("doc_id"), col("n_toks"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+    val bandsDf = CacheOnce(if (carryAll) exploded else exploded.drop("bhs"))
+    (bandsDf, tokArr)
   }
 
   /** Incremental near-dup matches: a NEW batch against an EXISTING
@@ -497,8 +518,8 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val (newBands, newSets) = portableSketch(newDocs, idCol, textCol, numHashes, bands)
-    val (refBands, refSets) = portableSketch(corpus, idCol, textCol, numHashes, bands)
+    val (newBands, newToks) = portableSketch(newDocs, idCol, textCol, numHashes, bands)
+    val (refBands, refToks) = portableSketch(corpus, idCol, textCol, numHashes, bands)
     val cands = newBands.as("a")
       .join(refBands.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -506,12 +527,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_ref"),
         col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
       .distinct()
-    val newArr = newSets.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("w"))).as("toks1"))
-      .withColumnRenamed("doc_id", "id_new")
-    val refArr = refSets.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("w"))).as("toks2"))
-      .withColumnRenamed("doc_id", "id_ref")
+    val newArr = newToks.select(col("doc_id").as("id_new"),
+      col("toks").as("toks1"))
+    val refArr = refToks.select(col("doc_id").as("id_ref"),
+      col("toks").as("toks2"))
     crossVerify(cands, newArr, refArr, threshold)
   }
 

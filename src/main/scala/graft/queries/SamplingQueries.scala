@@ -131,10 +131,11 @@ object SamplingQueries {
       TextDedup.subwordBudgetOracle(TextOps.demoSubwordVocab,
         budget = 12000L)) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val toks = TextOps.tokens(col("text"))
-      val nSub = size(flatten(transform(toks, w =>
-        graft.functions.GraftFunctions.subwordTokenize(
-          w, TextOps.demoSubwordVocab)))).cast("long")
+      // count-only kernel: one call per doc, no piece materialization —
+      // equal by construction to summing subwordTokenize piece counts
+      // (spec-pinned in SubwordTokenizeSpec)
+      val nSub = graft.functions.GraftFunctions.subwordCount(
+        TextOps.tokens(col("text")), TextOps.demoSubwordVocab)
       val base = t(s, dir, "documents")
         .select(col("doc_id"), nSub.as("n_toks"))
       // land the order boundaries as versioned catalog state once —

@@ -85,6 +85,35 @@ class SubwordTokenizeSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("SubwordCount equals the summed piece counts of the emitting kernel") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val alpha = Gen.alphaLowerChar
+    val wordGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, alpha))
+      .map(_.mkString)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to (i % 7 + 1)).flatMap(j =>
+        wordGen(Gen.Parameters.default,
+          org.scalacheck.rng.Seed(i.toLong * 100 + j)).toSeq))
+    }
+    val df = docs.toDF("doc_id", "toks")
+    val rows = df.select(col("doc_id"),
+        GraftFunctions.subwordCount(col("toks"), vocab).as("fused"),
+        aggregate(transform(col("toks"), w =>
+          size(GraftFunctions.subwordTokenize(w, vocab))),
+          lit(0), (acc, x) => acc + x).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"fused count diverges for doc ${r.getLong(0)}"))
+    // null tokens contribute 0; empty array counts 0; null array → null
+    val edge = Seq((0L, Seq[String]("the", null, "")),
+      (1L, Seq.empty[String]), (2L, null: Seq[String])).toDF("doc_id", "toks")
+      .select(GraftFunctions.subwordCount(col("toks"), vocab)).collect()
+    assert(edge(0).getLong(0) === 1L)
+    assert(edge(1).getLong(0) === 0L)
+    assert(edge(2).isNullAt(0))
+  }
+
   test("SQL registration: callable and arity/type checked") {
     GraftFunctions.register(spark)
     import spark.implicits._
