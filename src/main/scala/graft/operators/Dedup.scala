@@ -160,18 +160,36 @@ object Dedup {
     * so smaller `other` sides can't reach the threshold — the symmetric
     * Jaccard size-ratio bound does not apply to containment), then counts
     * the intersection with the codegen kernel per surviving pair. */
-  def containmentPairsPrefix(sets: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairsPrefix(sets: DataFrame, threshold: Double): DataFrame =
+    // compat form over an exploded set frame: aggregate it into the
+    // per-doc array shape the pipeline actually wants (one exchange),
+    // then share everything with the array-form entry point
+    containmentPairsPrefixArr(
+      sets.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("w"))).as("toks")),
+      threshold)
+
+  /** [[containmentPairsPrefix]] over the per-doc SORTED distinct-token
+    * array frame `(doc_id, toks)` — the preferred entry point: per-doc
+    * sizes come from `size(toks)` (no aggregation), the verification
+    * arrays ARE the input (no re-aggregation), and an array built
+    * per-row upstream (`sort_array(array_distinct(tokens))`) makes the
+    * whole candidate generation start from ZERO corpus exchanges — the
+    * same restructuring that took the portable-MinHash sketch below its
+    * oracle. Only corpus-level document frequency (the rarity order the
+    * prefix needs) still aggregates. */
+  def containmentPairsPrefixArr(tokArr0: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache the token frame: it feeds FOUR branches (sizes, docFreq, the
-    // prefix/full join and the verification arrays), and without
-    // materialization each branch re-runs the whole upstream
+    // cache the array frame: it feeds THREE branches (the exploded
+    // df/prefix/candidate chain and the two verification-array joins),
+    // and without materialization each branch re-runs the whole upstream
     // scan+tokenize+distinct — measured as the #2 bench cost in round 5.
     // Same cache lifecycle as minhashNearDups: bounded by the harness's
     // per-query clearCache().
-    val toks = CacheOnce(sets)
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val docFreq = toks.groupBy("w").agg(count(lit(1)).as("tok_df"))
-    val full = toks.join(sizes, Seq("doc_id"))
+    val tokArr = CacheOnce(tokArr0)
+    val full = tokArr.select(col("doc_id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("w"))
+    val docFreq = full.groupBy("w").agg(count(lit(1)).as("tok_df"))
     val prefixes = full.join(docFreq, Seq("w"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tok_df"), col("w"))))
@@ -183,10 +201,6 @@ object Dedup {
       .select(col("a.doc_id").as("id"), col("b.doc_id").as("other"),
         col("a.n").as("n_id"), col("b.n").as("n_other"))
       .distinct()
-    // sorted at build (once per doc) so the per-pair kernel is an
-    // allocation-free merge walk — see IntersectCountSorted's contract
-    val tokArr = toks.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("w"))).as("toks"))
     cands
       .filter(col("n_other").cast("double")
         >= lit(threshold) * col("n_id").cast("double"))

@@ -1288,10 +1288,12 @@ object TextDedup {
         |FROM inter i JOIN sz s ON s.doc_id = i.id
         |WHERE CAST(i.c AS DOUBLE) / s.n >= 0.8
         |ORDER BY id, other""".stripMargin) { (s, dir) =>
-      Dedup.containmentPairsPrefix(
-          Dedup.tokenSet(
-            t(s, dir, "documents").filter(col("doc_id") < 250),
-            "doc_id", "text"),
+      // per-row sorted distinct-token arrays: the candidate chain starts
+      // from zero corpus exchanges (array-form entry point)
+      Dedup.containmentPairsPrefixArr(
+          t(s, dir, "documents").filter(col("doc_id") < 250)
+            .select(col("doc_id"), sort_array(array_distinct(
+              TextOps.tokens(col("text")))).as("toks")),
           threshold = 0.8)
         .orderBy("id", "other")
     },
