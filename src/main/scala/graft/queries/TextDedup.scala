@@ -436,36 +436,42 @@ object TextDedup {
          |${sketchCoreCtes("corp", "_c", 64, 16)},
          |${sketchCoreCtes("b0d", "_0", 64, 16)},
          |${sketchCoreCtes("b1d", "_1", 64, 16)},
-         |szc AS (SELECT doc_id, count(*) AS n FROM w_c GROUP BY doc_id),
-         |sz0 AS (SELECT doc_id, count(*) AS n FROM w_0 GROUP BY doc_id),
-         |sz1 AS (SELECT doc_id, count(*) AS n FROM w_1 GROUP BY doc_id),
+         |mwc AS MATERIALIZED (SELECT * FROM w_c),
+         |mw0 AS MATERIALIZED (SELECT * FROM w_0),
+         |mw1 AS MATERIALIZED (SELECT * FROM w_1),
+         |mbc AS MATERIALIZED (SELECT * FROM bands_c),
+         |mb0 AS MATERIALIZED (SELECT * FROM bands_0),
+         |mb1 AS MATERIALIZED (SELECT * FROM bands_1),
+         |szc AS (SELECT doc_id, count(*) AS n FROM mwc GROUP BY doc_id),
+         |sz0 AS (SELECT doc_id, count(*) AS n FROM mw0 GROUP BY doc_id),
+         |sz1 AS (SELECT doc_id, count(*) AS n FROM mw1 GROUP BY doc_id),
          |c0 AS (
          |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
-         |  FROM bands_0 a JOIN bands_c b
+         |  FROM mb0 a JOIN mbc b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
          |i0 AS (
          |  SELECT c.id_new, c.id_ref, count(*) AS c
          |  FROM c0 c
-         |  JOIN w_0 a ON a.doc_id = c.id_new
-         |  JOIN w_c b ON b.doc_id = c.id_ref AND a.w = b.w
+         |  JOIN mw0 a ON a.doc_id = c.id_new
+         |  JOIN mwc b ON b.doc_id = c.id_ref AND a.w = b.w
          |  GROUP BY c.id_new, c.id_ref),
          |rej0 AS (
          |  SELECT DISTINCT id_new FROM i0
          |  JOIN sz0 s1 ON s1.doc_id = id_new
          |  JOIN szc s2 ON s2.doc_id = id_ref
          |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
-         |surv0 AS (
+         |surv0 AS MATERIALIZED (
          |  SELECT doc_id FROM b0d
          |  WHERE doc_id NOT IN (SELECT id_new FROM rej0)),
          |refb AS (
-         |  SELECT doc_id, band_idx, band_hash FROM bands_c
+         |  SELECT doc_id, band_idx, band_hash FROM mbc
          |  UNION ALL
-         |  SELECT doc_id, band_idx, band_hash FROM bands_0
+         |  SELECT doc_id, band_idx, band_hash FROM mb0
          |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
          |refw AS (
-         |  SELECT doc_id, w FROM w_c
+         |  SELECT doc_id, w FROM mwc
          |  UNION ALL
-         |  SELECT doc_id, w FROM w_0
+         |  SELECT doc_id, w FROM mw0
          |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
          |refsz AS (
          |  SELECT doc_id, n FROM szc
@@ -474,12 +480,12 @@ object TextDedup {
          |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
          |c1 AS (
          |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
-         |  FROM bands_1 a JOIN refb b
+         |  FROM mb1 a JOIN refb b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
          |i1 AS (
          |  SELECT c.id_new, c.id_ref, count(*) AS c
          |  FROM c1 c
-         |  JOIN w_1 a ON a.doc_id = c.id_new
+         |  JOIN mw1 a ON a.doc_id = c.id_new
          |  JOIN refw b ON b.doc_id = c.id_ref AND a.w = b.w
          |  GROUP BY c.id_new, c.id_ref),
          |rej1 AS (
@@ -487,7 +493,7 @@ object TextDedup {
          |  JOIN sz1 s1 ON s1.doc_id = id_new
          |  JOIN refsz s2 ON s2.doc_id = id_ref
          |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
-         |surv1 AS (
+         |surv1 AS MATERIALIZED (
          |  SELECT doc_id FROM b1d
          |  WHERE doc_id NOT IN (SELECT id_new FROM rej1))
          |SELECT d.doc_id,
