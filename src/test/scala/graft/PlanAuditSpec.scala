@@ -314,6 +314,25 @@ class PlanAuditSpec extends SparkSpec {
       "containment-prefix candidates must come from an equi-join:\n" + plan.take(3000))
   }
 
+  test("dedup_minhash_portable: fused sketch — zero aggregates anywhere") {
+    // the r13 MinhashBands restructure's contract: the per-doc token
+    // array is per-row algebra, the whole 64-lane signature + band
+    // hashing is one kernel call per document, candidates come from the
+    // first-collision band self-join (no distinct), and verification
+    // reuses the same array frame — so NOTHING in the plan aggregates.
+    // A regression back to the exploded (doc, token) stream would
+    // reintroduce a HashAggregate and flag here.
+    val plan = physicalPlan("dedup_minhash_portable")
+    assert(plan.contains("graft_minhash_bands"),
+      "fused band kernel missing from the portable sketch plan")
+    assert(!plan.contains("HashAggregate")
+        && !plan.contains("SortAggregate")
+        && !plan.contains("ObjectHashAggregate"),
+      "the fused portable pipeline must not aggregate anywhere — the " +
+        "sketch is per-row, candidates are first-collision (distinct-free), " +
+        "and verification reads the same per-doc arrays:\n" + plan.take(3000))
+  }
+
   test("new text ops prune the documents scan to (doc_id, text)") {
     // lang/n_chars etc. must never reach the scan: at 100 TB an unpruned
     // wide read dominates the job cost
