@@ -114,6 +114,26 @@ class SubwordTokenizeSpec extends SparkSpec {
     assert(edge(2).isNullAt(0))
   }
 
+  test("non-ASCII vocab pieces take the trie's wide-char spillover path") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // ü (U+00FC) and 語 (U+8A9E) sit above the trie's dense 128-slot
+    // ASCII fan-out; mixed pieces exercise the boundary in both orders
+    val v = Seq("über", "語", "üb", "the")
+    val rows = Seq("über", "語語x", "cüber", "theü")
+      .toDF("w")
+      .select(col("w"), GraftFunctions.subwordTokenize(col("w"), v).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("über") === Seq("über"), "longest wide-char piece must win over üb")
+    assert(rows("語語x") === Seq("語", "語", "x"))
+    assert(rows("cüber") === Seq("c", "über"))
+    assert(rows("theü") === Seq("the", "ü"))
+    // the count kernel walks the same trie
+    val n = Seq(Seq("über", "語語x", "cüber")).toDF("toks")
+      .select(GraftFunctions.subwordCount(col("toks"), v)).collect()(0).getLong(0)
+    assert(n === 1 + 3 + 2)
+  }
+
   test("SQL registration: callable and arity/type checked") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -125,5 +145,13 @@ class SubwordTokenizeSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql(
       "SELECT graft_subword_tokenize('x') FROM subword_probe").collect())
     assert(err.getMessage.contains("graft_subword_tokenize"))
+    // the count kernel is SQL-reachable too, with the same vocab checks
+    val viaCnt = spark.sql(
+      "SELECT graft_subword_count(array('the', 'zzq'), array('the', 'he')) " +
+        "FROM subword_probe").collect()(0).getLong(0)
+    assert(viaCnt === 1L + 3L)
+    val errCnt = intercept[Exception](spark.sql(
+      "SELECT graft_subword_count(array('x')) FROM subword_probe").collect())
+    assert(errCnt.getMessage.contains("graft_subword_count"))
   }
 }
