@@ -1,0 +1,43 @@
+package graft.core
+
+/** Naming discipline for the streaming replay gates' persisted state
+  * (keys/index tables and their delivery ledgers).
+  *
+  * Every stream gate persists two kinds of state in the warehouse: the
+  * operator's own table(s) (Bloom keys, band index, IVF cells) and the
+  * delivery LEDGER the warm path serves (the cold run drives the real
+  * production triggers and records per-key delivery counts — the same
+  * contract as foreachBatch's checkpoint: committed batches are not
+  * re-fired). Both are keyed by the data directory so different scale
+  * factors never share state.
+  *
+  * The semantics VERSION is the structural fix for the stale-ledger
+  * hazard (r13 verdict): a ledger records the output of a SPECIFIC gate
+  * semantics — batch construction, slice boundaries, survivor rules,
+  * operator parameters. If any of those change while the table name
+  * stays fixed, a persisted ledger from the old semantics is served
+  * against the new oracle and the gate fails red for a confusing reason.
+  * Folding the version into the name makes that impossible: a semantics
+  * change bumps `semVer`, the new name misses, and the gate takes its
+  * deterministic cold path (re-seed / rebuild + re-trigger). Old-version
+  * tables become inert warehouse residents, reclaimed lazily by
+  * [[Warehouse.reclaimOrphan]] when a name is reused.
+  *
+  * CONTRACT for gate authors: bump the gate's `semVer` whenever its
+  * batch slices, replay schedule, thresholds, sketch parameters, or the
+  * survivor semantics of the operator it drives change. Do NOT bump for
+  * output-neutral refactors — the persisted ledgers keep the driver's
+  * bench on the warm path. LedgerRecoverySpec pins that a bump ignores
+  * the previous version's ledger.
+  */
+object StreamGates {
+
+  /** `<prefix><crc32(dataDir)>_<semVer>` — the base name for one gate's
+    * state at one data directory under one semantics version. Ledgers
+    * append `_dlv` to this. */
+  def table(prefix: String, dataDir: String, semVer: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(dataDir.getBytes("UTF-8"))
+    f"$prefix${crc.getValue}%08x_$semVer"
+  }
+}

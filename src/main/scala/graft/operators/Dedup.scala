@@ -504,6 +504,12 @@ object Dedup {
       else
         df.select(col(idCol).as("doc_id"),
           sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
+          // null-text docs emit NO row (the absent-group semantics the
+          // explode+collect_set form had) — without this the NULL-toks
+          // row rides into BandIndex.append's persisted `_toks` table as
+          // a silent index-format drift (r13 advice); the shingle branch
+          // above already drops them via its size() >= n filter
+          .filter(col("toks").isNotNull)
     val tokArr = CacheOnce(perDoc)
     val exploded = tokArr
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),

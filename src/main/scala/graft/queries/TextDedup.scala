@@ -294,9 +294,9 @@ object TextDedup {
       import graft.streaming.CmsStream
       val (depth, width) = (4, 256)
       val docs = t(s, dir, "documents")
-      val crc = new java.util.zip.CRC32()
-      crc.update(dir.getBytes("UTF-8"))
-      val table = f"graft_cms_stream_${crc.getValue}%08x"
+      // semantics-versioned state name (StreamGates contract): bump the
+      // semVer if the seed/batch slices or sketch params change
+      val table = graft.core.StreamGates.table("graft_cms_stream_", dir, "s1")
       if (!s.catalog.tableExists(table))
         CmsStream.seed(docs.filter(col("doc_id") < 100), "text", table,
           depth, width)
@@ -362,9 +362,10 @@ object TextDedup {
       val keys = t(s, dir, "documents").select(col("doc_id"))
       def slice(lo: Int, hi: Int) =
         keys.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      val crc = new java.util.zip.CRC32()
-      crc.update(dir.getBytes("UTF-8"))
-      val table = f"graft_bloom_stream_${crc.getValue}%08x"
+      // semantics-versioned state/ledger names (StreamGates contract): a
+      // changed batch construction bumps the semVer, so a stale ledger
+      // can never be served against the new oracle (r13 verdict item)
+      val table = graft.core.StreamGates.table("graft_bloom_stream_", dir, "s1")
       val ledger = s"${table}_dlv"
       if (!s.catalog.tableExists(table) || !s.catalog.tableExists(ledger)) {
         // a previous JVM's managed dirs may outlive their catalog entries
@@ -511,11 +512,15 @@ object TextDedup {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       def slice(lo: Int, hi: Int) =
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      val crc = new java.util.zip.CRC32()
-      crc.update(dir.getBytes("UTF-8"))
-      val idx = f"gbsr_${crc.getValue}%08x"
+      // semantics-versioned names (StreamGates contract, see bloom gate)
+      val idx = graft.core.StreamGates.table("gbsr_", dir, "s1")
       val ledger = s"${idx}_dlv"
-      if (!s.catalog.tableExists(ledger)) {
+      // guard BOTH the ledger and the index: a surviving ledger with a
+      // lost index must take the deterministic reset-and-rebuild path,
+      // not throw in the warm path's live index read (mirrors the bloom
+      // gate's two-table guard)
+      if (!s.catalog.tableExists(ledger)
+          || !s.catalog.tableExists(s"${idx}_toks")) {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
         graft.operators.BandIndex.build(slice(0, 300), "doc_id", "text",
           numHashes = 64, bands = 16, buckets = 8, idx)

@@ -16,11 +16,10 @@ class LedgerRecoverySpec extends SparkSpec {
   private def run(name: String): Seq[Seq[Any]] =
     sortedCells(graft.SparkEntry.queries(name)(spark, dir))
 
-  private def ledgerFor(prefix: String): String = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(dir.getBytes("UTF-8"))
-    f"$prefix${crc.getValue}%08x_dlv"
-  }
+  /** Current-semantics ledger name — derived through the SAME helper the
+    * gates use, so this spec can't silently drift from their naming. */
+  private def ledgerFor(prefix: String, semVer: String = "s1"): String =
+    graft.core.StreamGates.table(prefix, dir, semVer) + "_dlv"
 
   test("bloom gate: dropping the ledger forces a cold re-run with identical output") {
     val first = run("stream_bloom_replay")
@@ -30,6 +29,26 @@ class LedgerRecoverySpec extends SparkSpec {
     val recovered = run("stream_bloom_replay") // cold: re-seed + re-trigger
     assert(recovered === first,
       "post-crash re-run must re-derive the same deliveries and key rows")
+  }
+
+  test("a semantics bump can never serve a stale ledger") {
+    // The structural property of StreamGates naming: a ledger persisted
+    // under a PREVIOUS semantics version lives under a different table
+    // name, so the bumped gate takes its cold path instead of serving
+    // stale counts. Simulate the pre-bump world: a poisoned ledger under
+    // the s0 name must be invisible to the current (s1) gate.
+    import spark.implicits._
+    val stale = ledgerFor("graft_bloom_stream_", "s0")
+    graft.core.Warehouse.reclaimOrphan(spark, stale)
+    Seq((0L, 999L)).toDF("doc_id", "n_deliveries")
+      .write.mode("overwrite").saveAsTable(stale)
+    try {
+      val out = run("stream_bloom_replay")
+      assert(!out.exists(_.contains(999L)),
+        "gate must never read a ledger from another semantics version")
+      // and the names the gates actually use carry the version component
+      assert(ledgerFor("graft_bloom_stream_").contains("_s1_"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $stale")
   }
 
   test("band gate: dropping the ledger forces an index reset with identical output") {
