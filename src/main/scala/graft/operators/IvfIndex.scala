@@ -19,17 +19,55 @@ import graft.etl.ParquetStore
   * property of an inverted-file index. */
 object IvfIndex {
 
+  /** `src_batch` value for rows landed by a build (or a non-streaming
+    * append): no real micro-batch id, so no replay guard can ever
+    * exclude them — the same sentinel contract as
+    * [[graft.streaming.BloomStream.NoBatch]] / [[BandIndex]]. */
+  val NoBatch: Long = -1L
+
   def build(vectors: DataFrame, store: ParquetStore, name: String,
-      numCentroids: Int, lloydIters: Int): Unit = {
-    val centroids = Similarity.kmeansCentroids(
-      vectors.select(col("vec_id"), col("embedding")), numCentroids, lloydIters)
+      numCentroids: Int, lloydIters: Int): Unit =
+    buildFrom(vectors, store, name,
+      Similarity.kmeansCentroids(
+        vectors.select(col("vec_id"), col("embedding")), numCentroids,
+        lloydIters))
+
+  /** [[build]] with the engine-portable md5-sample coarse quantizer
+    * ([[Similarity.portableCentroids]]) instead of the Lloyd-refined one
+    * — same dataflow, but every downstream read of the index (cell
+    * assignment included) is SQL-replayable, which is what puts the
+    * persisted-index STREAMING path under a hash-checked oracle
+    * (gate stream_ann_append_replay), exactly as sim_ann_ivf_fixed does
+    * for the inline pipeline. */
+  def buildPortable(vectors: DataFrame, store: ParquetStore, name: String,
+      numCentroids: Int): Unit =
+    buildFrom(vectors, store, name,
+      Similarity.portableCentroids(
+        vectors.select(col("vec_id"), col("embedding")), numCentroids))
+
+  private def buildFrom(vectors: DataFrame, store: ParquetStore,
+      name: String, centroids: DataFrame): Unit = {
     store.write(s"${name}_centroids", centroids)
-    val cells = Similarity.assignCells(
+    store.writePartitioned(s"${name}_cells",
+      assign(vectors, centroids).withColumn("src_batch", lit(NoBatch)),
+      Seq("cell"))
+  }
+
+  /** Cell assignment of a vector frame against a centroid frame — the
+    * shared E-step of build and append: (cand_id, cemb, cell), one
+    * broadcast pass over the input. */
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.assignCells(
       vectors.select(col("vec_id").as("cand_id"),
         transform(col("embedding"), _.cast("double")).as("cemb")),
       "cand_id", "cemb", centroids, keep = 1)
-    store.writePartitioned(s"${name}_cells", cells, Seq("cell"))
-  }
+
+  /** Assign `batch` against the index's FROZEN coarse quantizer — the
+    * read half of [[append]], exposed so the streaming trigger can
+    * deliver the assignment it is about to persist. */
+  def assignToIndex(batch: DataFrame, store: ParquetStore,
+      name: String): DataFrame =
+    assign(batch, store.read(s"${name}_centroids"))
 
   /** Incremental maintenance (the nightly-ingest path, mirroring
     * [[BandIndex.append]]): assign ONLY `batch` to the EXISTING coarse
@@ -42,13 +80,28 @@ object IvfIndex {
     * degrades gracefully if the data distribution drifts from the frozen
     * quantizer; the periodic `build` rebuild is the compaction step that
     * re-centers it. */
-  def append(batch: DataFrame, store: ParquetStore, name: String): Unit = {
-    val centroids = store.read(s"${name}_centroids")
-    val cells = Similarity.assignCells(
-      batch.select(col("vec_id").as("cand_id"),
-        transform(col("embedding"), _.cast("double")).as("cemb")),
-      "cand_id", "cemb", centroids, keep = 1)
-    store.appendPartitioned(s"${name}_cells", cells, Seq("cell"))
+  def append(batch: DataFrame, store: ParquetStore, name: String): Unit =
+    appendCells(assignToIndex(batch, store, name), store, name, NoBatch)
+
+  /** Append pre-assigned cell rows, idempotently per micro-batch: rows
+    * carry the batch id, and ids this batch ALREADY landed are skipped —
+    * so a replayed foreachBatch trigger (at-least-once contract) cannot
+    * duplicate index rows. Same guard shape as [[BandIndex.append]] /
+    * BloomStream's key append; `NoBatch` skips the guard (non-streaming
+    * callers, e.g. a backfill, manage their own idempotence). The
+    * existing-rows read lists the cells directory before the append
+    * plans its write, so the anti-join never sees its own output. */
+  def appendCells(cells: DataFrame, store: ParquetStore, name: String,
+      batchId: Long): Unit = {
+    val target = s"${name}_cells"
+    val unseen =
+      if (batchId == NoBatch || !store.exists(target)) cells
+      else cells.join(
+        store.read(target).filter(col("src_batch") === batchId)
+          .select(col("cand_id")),
+        Seq("cand_id"), "left_anti")
+    store.appendPartitioned(target,
+      unseen.withColumn("src_batch", lit(batchId)), Seq("cell"))
   }
 
   def query(store: ParquetStore, name: String, queries: DataFrame,

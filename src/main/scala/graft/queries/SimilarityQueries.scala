@@ -140,6 +140,90 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // ---- Streaming IVF-index maintenance, replayed: the similarity twin
+    // of stream_banddedup_replay — a persisted IVF index (portable
+    // md5-sample quantizer, so the WHOLE story is SQL-replayable) built
+    // on a base corpus, then grown by two micro-batches through the
+    // EXACT production trigger body (AnnStream.trigger: assign against
+    // the frozen quantizer → deliver the assignment → guarded append),
+    // with an at-least-once REPLAY of batch 0. The replay certifies the
+    // append guard: a retried trigger re-delivers the same assignments
+    // (n_deliveries 2 for batch 0) but must not duplicate index rows
+    // (n_index_rows stays 1, read LIVE from the hive-partitioned cells
+    // layout every run). The delivered `cell` is hash-checked against
+    // the oracle's replay of the md5-sample + cosine-argmax assignment,
+    // so the quantizer freeze — not just the counts — is certified.
+    // Cold run persists the delivery ledger (StreamGates semantics-
+    // versioned naming; foreachBatch checkpoint contract), warm runs
+    // serve it; a lost index or ledger forces the deterministic
+    // reset-and-rebuild path (buildPortable overwrites the cells layout).
+    GQuery(
+      "stream_ann_append_replay",
+      """WITH ranked AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id < 300
+        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    vec_id
+        |  LIMIT 16),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+        |ca AS (
+        |  SELECT b.vec_id, r.centroid_id,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(e, ce) DESC, centroid_id)
+        |      AS crn
+        |  FROM b CROSS JOIN ranked r)
+        |SELECT vec_id, CAST(centroid_id AS BIGINT) AS cell,
+        |  CAST(CASE WHEN vec_id < 350 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_deliveries,
+        |  CAST(1 AS BIGINT) AS n_index_rows
+        |FROM ca WHERE crn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import graft.operators.IvfIndex
+      import graft.streaming.AnnStream
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def slice(lo: Int, hi: Int) =
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val name = graft.core.StreamGates.table("gais_", dir, "s1")
+      val ledger = s"${name}_dlv"
+      val store = new graft.etl.ParquetStore(s,
+        s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+      if (!s.catalog.tableExists(ledger)
+          || !store.exists("idx_centroids") || !store.exists("idx_cells")) {
+        graft.core.Warehouse.reclaimOrphan(s, ledger)
+        // deterministic BY RESET: the grown cells layout is the stream's
+        // output, so rebuild the corpus-only index before the triggers
+        IvfIndex.buildPortable(slice(0, 300), store, "idx", numCentroids = 16)
+        val delivered = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        val sink = (df: org.apache.spark.sql.DataFrame) => {
+          delivered += df.localCheckpoint(true); ()
+        }
+        AnnStream.trigger(slice(300, 350), 0L, store, "idx", sink)
+        // at-least-once replay of batch 0 — same assignments delivered
+        // again, no new index rows
+        AnnStream.trigger(slice(300, 350), 0L, store, "idx", sink)
+        AnnStream.trigger(slice(350, 400), 1L, store, "idx", sink)
+        delivered.reduceOption(_.unionByName(_))
+          .getOrElse(emb.select(col("vec_id")).withColumn("cell", lit(0L))
+            .limit(0))
+          .groupBy("vec_id", "cell")
+          .agg(count(lit(1)).as("n_deliveries"))
+          .write.mode("overwrite").saveAsTable(ledger)
+      }
+      val idxRows = store.read("idx_cells")
+        .filter(col("src_batch") =!= lit(IvfIndex.NoBatch))
+        .groupBy(col("cand_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_index_rows"))
+      slice(300, 400).select("vec_id")
+        .join(s.table(ledger), Seq("vec_id"), "left")
+        .join(idxRows, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          coalesce(col("n_deliveries"), lit(0L)).as("n_deliveries"),
+          coalesce(col("n_index_rows"), lit(0L)).as("n_index_rows"))
+        .orderBy("vec_id")
+    },
+
     // ---- ANN index diagnostic: bucket occupancy histogram. The oracle
     // re-derives the sign-LSH bucket ids with the SAME hyperplanes inlined
     // as SQL literals (shortest-round-trip double rendering), so the

@@ -62,4 +62,16 @@ class LedgerRecoverySpec extends SparkSpec {
     assert(recovered === first,
       "post-crash re-run must reset the index and re-derive the same run")
   }
+
+  test("ann gate: dropping the ledger forces an index reset with identical output") {
+    val first = run("stream_ann_append_replay")
+    val warm = run("stream_ann_append_replay")
+    assert(warm === first)
+    spark.sql(s"DROP TABLE IF EXISTS ${ledgerFor("gais_")}")
+    // the cold path must buildPortable() the corpus-only cells layout —
+    // the previous run's appended batches must not survive the reset
+    val recovered = run("stream_ann_append_replay")
+    assert(recovered === first,
+      "post-crash re-run must reset the IVF index and re-derive the same run")
+  }
 }
