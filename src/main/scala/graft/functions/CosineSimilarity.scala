@@ -138,6 +138,7 @@ object GraftFunctions {
   val subwordCountName = "graft_subword_count"
   val gramBucketsName = "graft_gram_buckets"
   val minhashBandsName = "graft_minhash_bands"
+  val minhashBandsXXName = "graft_minhash_bands_xx"
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -247,6 +248,23 @@ object GraftFunctions {
             intLit(exprs(2), "bands"))
         }, "built-in")
     }
+    ifAbsent(minhashBandsXXName) {
+      registry.createOrReplaceTempFunction(
+        minhashBandsXXName, exprs => {
+          if (exprs.length != 3) throw new IllegalArgumentException(
+            s"$minhashBandsXXName expects 3 arguments (tokens, numHashes, " +
+              s"bands), got ${exprs.length}")
+          def intLit(e: Expression, what: String): Int =
+            (if (e.foldable) e.eval() else null) match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+              case _ => throw new IllegalArgumentException(
+                s"$minhashBandsXXName $what must be an int literal, got $e")
+            }
+          MinhashBandsXX(exprs(0), intLit(exprs(1), "numHashes"),
+            intLit(exprs(2), "bands"))
+        }, "built-in")
+    }
     ifAbsent(minhashName) {
       registry.createOrReplaceTempFunction(
         minhashName, exprs => {
@@ -321,6 +339,14 @@ object GraftFunctions {
   def minhashBands(tokens: Column, numHashes: Int, bands: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(minhashBandsName, tokens, lit(numHashes), lit(bands))
+  }
+
+  /** Production (xxhash64-family) MinHash band hashes of one
+    * distinct-token array — the fused [[MinhashBandsXX]] kernel (base
+    * xxhash64 + all lane mins + band folds in one pass per document). */
+  def minhashBandsXX(tokens: Column, numHashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(minhashBandsXXName, tokens, lit(numHashes), lit(bands))
   }
 
   /** The one expression builder both deployment paths (temp-function

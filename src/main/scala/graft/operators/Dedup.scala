@@ -367,29 +367,20 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double,
       shingleN: Int = 1): DataFrame = {
     // shingleN = 1: word-set MinHash; >= 2: the shingle→minhash→band→
-    // bucket-join pipeline over n-word shingles (stricter near-dup notion)
-    // the token/shingle frame feeds both the sketch aggregation and the
-    // verification arrays — materialize it once (same lifecycle as the
-    // band cache below)
-    val sets = CacheOnce(
-      if (shingleN <= 1) tokenSet(df, idCol, textCol)
-      else shingleSet(df, idCol, textCol, shingleN))
-    // cache the band frame: it feeds BOTH sides of the candidate self-join,
-    // and without materialization the whole tokenize→minhash→band pipeline
-    // executes twice (exchange reuse does not survive the self-join
-    // aliases). Cache, NOT localCheckpoint — the checkpoint cuts the plan
-    // at an opaque LogicalRDD, which measured ~3× slower on the LSH query
-    // (AQE loses statistics and the codegen boundary). CacheManager
-    // entries DO outlive the query, so long-lived hosts (Bench, Verify)
-    // call spark.catalog.clearCache() between queries to bound storage;
-    // library callers embedding this in a service should do the same.
-    val bandsDf = CacheOnce(lshBandsFromSig(
-        minhashSignaturesAgg(sets, numHashes), numHashes, bands,
-        carryAll = true))
+    // bucket-join pipeline over n-word shingles (stricter near-dup notion).
+    // Sketching is the fused per-document kernel (xxSketch): the former
+    // composed form exploded a corpus-wide (doc, token) stream through a
+    // doc-keyed repartition, a 64-lane min hash-aggregate, and a
+    // collect_set RE-aggregation for the verification arrays — all three
+    // exchanges replaced by one kernel call per row over the same cached
+    // per-doc array frame the verification tail reads (the restructure
+    // that took the portable twin below its oracle in r13; byte-parity
+    // with the composed plan pinned in MinhashBandsXXSpec).
+    val (bandsDf, tokArr) =
+      xxSketch(df, idCol, textCol, numHashes, bands, shingleN,
+        carryAll = true)
     verifyCandidates(lshCandidatesFirstCollision(bandsDf, threshold),
-      sets.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("w"))).as("toks")),
-      threshold)
+      tokArr, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs — the shared tail of
@@ -491,7 +482,52 @@ object Dedup {
     * cached array frame feeds the exact-Jaccard verification tail. */
   private[operators] def portableSketch(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, bands: Int,
-      shingleN: Int = 1, carryAll: Boolean = false): (DataFrame, DataFrame) = {
+      shingleN: Int = 1, carryAll: Boolean = false): (DataFrame, DataFrame) =
+    fusedSketch(df, idCol, textCol, shingleN, carryAll)(
+      graft.functions.GraftFunctions.minhashBands(_, numHashes, bands))
+
+  /** [[portableSketch]]'s production twin over the xxhash64 family —
+    * identical dataflow, the fused [[graft.functions.MinhashBandsXX]]
+    * kernel instead of the md5-affine one; band hashes are longs (the
+    * schema [[lshBandsFromSig]] emits, so every banding consumer —
+    * first-collision prefix scan included — is family-agnostic).
+    *
+    * Unlike the portable twin, the raw doc rows are redistributed BEFORE
+    * the kernel ([[byDoc]] — the same pre-explode exchange the composed
+    * tokenSet path carried, and for the same measured reason): this is
+    * the FULL-CORPUS self-dedup entry ([[minhashNearDups]] runs it over
+    * every document), and a single-row-group documents file scans as ONE
+    * task that would otherwise carry the whole tokenize→kernel pipeline,
+    * the two cached frames, and their downstream shuffle map sides on
+    * one core (measured 444 s vs 13 s on dedup_minhash_lsh at 10×
+    * sf0.1 when this exchange was first dropped). The portable twin
+    * keeps its zero-exchange shape: its callers are scoped gates and
+    * O(batch) index appends, where the exchange costs more than the
+    * parallelism buys. */
+  private[operators] def xxSketch(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int = 1, carryAll: Boolean = false): (DataFrame, DataFrame) =
+    fusedSketch(byDoc(df, idCol), idCol, textCol, shingleN, carryAll)(
+      graft.functions.GraftFunctions.minhashBandsXX(_, numHashes, bands))
+
+  /** The fused-sketch dataflow both hash families share: per-row sorted
+    * distinct-token (or shingle) array → one band-kernel call per
+    * document → posexploded band rows. Returns (band frame, per-doc
+    * token-array frame `(doc_id, toks)`); both are materialized once
+    * ([[CacheOnce]], harness-scoped lifecycle) because each feeds two
+    * consumers downstream — and `df` itself may be an expensive upstream
+    * composite.
+    *
+    * Scale shape: ZERO corpus exchanges before the band join. The former
+    * shape exploded a corpus-wide (doc, token) stream, paid a per-token
+    * digest plus a 64-buffer min hash-aggregate, and then RE-aggregated
+    * the same stream into verification arrays; now the within-document
+    * distinct set is per-row column algebra, the signature+banding is
+    * one kernel call per document, and the SAME cached array frame feeds
+    * the exact-Jaccard verification tail. */
+  private def fusedSketch(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, carryAll: Boolean)(
+      bandsOf: Column => Column): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // sort_array at build: one per-row sort buys the allocation-free
     // merge-walk verification kernel (IntersectCountSorted's contract)
@@ -513,8 +549,7 @@ object Dedup {
     val tokArr = CacheOnce(perDoc)
     val exploded = tokArr
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        graft.functions.GraftFunctions.minhashBands(col("toks"),
-          numHashes, bands).as("bhs"))
+        bandsOf(col("toks")).as("bhs"))
       .select(col("doc_id"), col("n_toks"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
     val bandsDf = CacheOnce(if (carryAll) exploded else exploded.drop("bhs"))

@@ -333,6 +333,27 @@ class PlanAuditSpec extends SparkSpec {
         "and verification reads the same per-doc arrays:\n" + plan.take(3000))
   }
 
+  test("dedup_minhash_lsh: fused xx sketch — zero aggregates anywhere") {
+    // the r14 MinhashBandsXX restructure mirrors the portable contract
+    // above for the production xxhash64 family, with ONE deliberate
+    // extra exchange: the full-corpus entry redistributes raw doc rows
+    // by id before the kernel (a single-row-group corpus file would
+    // otherwise run the whole sketch on one task — measured 444 s vs
+    // 13 s at 10× when the exchange was dropped; see xxSketch scaladoc)
+    val plan = physicalPlan("dedup_minhash_lsh")
+    assert(plan.contains("graft_minhash_bands_xx"),
+      "fused xx band kernel missing from the lsh plan")
+    assert(!plan.contains("HashAggregate")
+        && !plan.contains("SortAggregate")
+        && !plan.contains("ObjectHashAggregate"),
+      "the fused xx pipeline must not aggregate anywhere — the sketch is " +
+        "per-row, candidates are first-collision (distinct-free), and " +
+        "verification reads the same per-doc arrays:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(doc_id"),
+      "the full-corpus xx sketch must pre-distribute docs by id:\n" +
+        plan.take(3000))
+  }
+
   test("new text ops prune the documents scan to (doc_id, text)") {
     // lang/n_chars etc. must never reach the scan: at 100 TB an unpruned
     // wide read dominates the job cost
