@@ -136,6 +136,7 @@ object GraftFunctions {
   val winnowName = "graft_winnow_fingerprints"
   val subwordName = "graft_subword_tokenize"
   val subwordCountName = "graft_subword_count"
+  val bpeApplyName = "graft_bpe_apply"
   val gramBucketsName = "graft_gram_buckets"
   val minhashBandsName = "graft_minhash_bands"
   val minhashBandsXXName = "graft_minhash_bands_xx"
@@ -214,6 +215,15 @@ object GraftFunctions {
             s"$subwordCountName expects 2 arguments (tokens, vocab), " +
               s"got ${exprs.length}")
           SubwordCount(exprs(0), exprs(1))
+        }, "built-in")
+    }
+    ifAbsent(bpeApplyName) {
+      registry.createOrReplaceTempFunction(
+        bpeApplyName, exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$bpeApplyName expects 2 arguments (tokens, merges), " +
+              s"got ${exprs.length}")
+          BpeApply(exprs(0), exprs(1))
         }, "built-in")
     }
     ifAbsent(gramBucketsName) {
@@ -325,6 +335,12 @@ object GraftFunctions {
   def subwordCount(tokens: Column, vocab: Seq[String]): Column =
     call_function(subwordCountName, tokens,
       org.apache.spark.sql.functions.typedlit(vocab))
+
+  /** True-BPE merge application over one token array against a ranked
+    * "x y" merge literal → struct<n_pieces, enc> (see [[BpeApply]]). */
+  def bpeApply(tokens: Column, merges: Seq[String]): Column =
+    call_function(bpeApplyName, tokens,
+      org.apache.spark.sql.functions.typedlit(merges))
 
   /** Hashed unigram+bigram feature buckets of one token array (the DSIR
     * feature stream) — one fused md5 pass, no gram strings. */

@@ -426,6 +426,19 @@ object TextOps {
     "of", "be", "in", "he", "to", "it", "ou", "ar", "is", "al",
     "le", "se", "st", "ro", "om", "us", "ur", "ra", "li", "la")
 
+  /** Illustrative fixed BPE merge table for the true-merge-loop gate
+    * (txt_bpe_apply), RANK ORDER — each entry "x y" merges adjacent
+    * pieces x,y into xy, and later entries reference pieces earlier ones
+    * build ("t h" → "th", then "th e" → "the", then "the re" →
+    * "there"), so the gate exercises genuinely multi-level merging. A
+    * production deployment swaps in trained merges exactly like
+    * [[demoSubwordVocab]]. */
+  val demoBpeMerges: Seq[String] = Seq(
+    "t h", "i n", "a n", "e r", "o n", "r e", "e n", "a t",
+    "e s", "o r", "o u", "s t", "e d", "i s", "a r", "t o",
+    "l l", "o o", "th e", "in g", "an d", "e a", "i t", "o f",
+    "the re", "c h", "s h", "w h", "en t", "at i")
+
   /** Tokenizer-aware token accounting: whitespace words segmented into
     * subword pieces by the native greedy longest-match kernel
     * ([[graft.functions.SubwordTokenize]]), with per-doc word/subword

@@ -272,6 +272,33 @@ object TextDedup {
         TextOps.demoSubwordVocab).orderBy("doc_id")
     },
 
+    // ---- True-BPE merge application: the next tokenizer-realism step
+    // past the greedy MaxMatch gates — iteratively apply the lowest-rank
+    // merge from a fixed ranked table until none applies (the reference
+    // BPE inference loop), certified piece-for-piece: the oracle replays
+    // the merge loop as maxLen−1 unrolled min-rank-contains → replace
+    // steps and the md5 covers every piece boundary of every word.
+    // Words are scoped to engine-portable [a-z]{1,12} (bounds the
+    // unrolling; char-splitting is identical across engines). Pure
+    // per-row algebra, zero shuffle; one kernel call per document.
+    GQuery(
+      "txt_bpe_apply",
+      bpeApplyOracle(TextOps.demoBpeMerges, maxLen = 12, scopeLim = 500)) {
+      (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val ws = filter(TextOps.tokens(col("text")),
+        w => w.rlike("^[a-z]{1,12}$"))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          graft.functions.GraftFunctions.bpeApply(col("ws"),
+            TextOps.demoBpeMerges).as("r"))
+        .select(col("doc_id"), col("n_words"),
+          col("r.n_pieces").as("n_pieces"), md5(col("r.enc")).as("pieces_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- Streaming Count-Min, replayed: the first CORRECTNESS gate
     // over the streaming family. Seeds the persisted cells table from a
     // base corpus slice, lands two micro-batches through the EXACT
@@ -1731,6 +1758,56 @@ object TextDedup {
        |        substring(rest, 1, 1)) AS best
        |    FROM seg WHERE rest <> '') x),
        |done AS (SELECT w, ps, n FROM seg WHERE rest = '')""".stripMargin
+  }
+
+  /** Unrolled SQL replay of the true-BPE merge loop (gate
+    * txt_bpe_apply): each step applies the MIN-RANK merge whose
+    * boundary-encoded pair pattern the word still contains, via one
+    * left-to-right non-overlapping `replace` (the same semantics as the
+    * kernel's `String.replace` — see [[graft.functions.BpeApply]]).
+    * maxLen−1 chained steps provably reach the fixpoint: qualifying
+    * words have ≤ maxLen chars and every productive step removes at
+    * least one piece, so no recursion is needed (and each step CTE has
+    * exactly one consumer — no DuckDB re-inlining hazard). */
+  private def bpeApplyOracle(merges: Seq[String], maxLen: Int,
+      scopeLim: Int): String = {
+    val vals = merges.zipWithIndex.map { case (m, i) =>
+      val sp = m.indexOf(' ')
+      val (x, y) = (m.substring(0, sp), m.substring(sp + 1))
+      s"('|$x|$y|', '|$x$y|', $i)"
+    }.mkString(",\n    ")
+    val steps = (1 until maxLen).map { k =>
+      s"""s$k AS (
+         |  SELECT doc_id, wi,
+         |    CASE WHEN m.pat IS NULL THEN s
+         |         ELSE replace(s, m.pat, m.rep) END AS s
+         |  FROM s${k - 1} LEFT JOIN LATERAL (
+         |    SELECT pat, rep FROM merges WHERE contains(s${k - 1}.s, pat)
+         |    ORDER BY r LIMIT 1) m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH merges(pat, rep, r) AS (VALUES
+       |    $vals),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id < $scopeLim),
+       |w AS (
+       |  SELECT doc_id, i AS wi, t[i] AS w
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |        FROM toks) x
+       |  WHERE regexp_matches(t[i], '^[a-z]{1,$maxLen}$$')),
+       |s0 AS (
+       |  SELECT doc_id, wi,
+       |    '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+       |  FROM w),
+       |$steps,
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    sum(len(string_split(s, '|')) - 2) AS n_pieces,
+       |    md5(string_agg(s, ' ' ORDER BY wi)) AS pieces_md5
+       |  FROM s${maxLen - 1} GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_pieces AS BIGINT) AS n_pieces, pieces_md5
+       |FROM per ORDER BY doc_id""".stripMargin
   }
 
   private def subwordOracle(vocab: Seq[String]): String =
