@@ -141,10 +141,129 @@ object GraftFunctions {
   val minhashBandsName = "graft_minhash_bands"
   val minhashBandsXXName = "graft_minhash_bands_xx"
 
+  /** Arity guard shared by the catalog builders: a wrong-arity SQL call
+    * fails with the function's name and signature, never a bare
+    * IndexOutOfBoundsException. */
+  private def arity(name: String, exprs: Seq[Expression], n: Int,
+      args: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments ($args), got ${exprs.length}")
+
+  /** Foldable INTEGRAL literal (SQL integer literals arrive as int or
+    * long) with a named-argument error — shared by every kernel taking
+    * query-constant int parameters. */
+  private def intLit(name: String, e: Expression, what: String): Int =
+    (if (e.foldable) e.eval() else null) match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$name $what must be an int literal, got $e")
+    }
+
+  /** THE function catalog: SQL name, implementing class (surfaces in
+    * DESCRIBE FUNCTION), usage line, arity-checked builder. The single
+    * source of truth for BOTH registration paths — [[register]] (runtime
+    * temp functions) and [[GraftExtensions]] (config-based
+    * `spark.sql.extensions` injection) iterate this same table, so the
+    * two deployment paths cannot drift. (They had: the hand-maintained
+    * extensions list was 9 functions behind the runtime path when this
+    * table replaced it — a config-deployed session silently lacked the
+    * dedup/tokenizer kernels. GraftExtensionsSpec pins the parity.) */
+  private[functions] val catalog: Seq[
+      (String, Class[_], String, Seq[Expression] => Expression)] = Seq(
+    (cosineName, classOf[CosineSimilarity],
+      "_FUNC_(a, b) - cosine similarity of two numeric-array vectors " +
+        "in one fused codegen loop (float/long/int read natively)",
+      exprs => { arity(cosineName, exprs, 2, "a, b")
+        CosineSimilarity(exprs(0), exprs(1)) }),
+    (intersectName, classOf[IntersectCount],
+      "_FUNC_(a, b) - |set(a) INTERSECT set(b)| of two array<string> " +
+        "columns, one fused hash-probe pass",
+      exprs => { arity(intersectName, exprs, 2, "a, b")
+        IntersectCount(exprs(0), exprs(1)) }),
+    (intersectSortedName, classOf[IntersectCountSorted],
+      "_FUNC_(a, b) - |a INTERSECT b| of two SORTED DISTINCT " +
+        "array<string> columns, allocation-free merge walk",
+      exprs => { arity(intersectSortedName, exprs, 2, "a, b")
+        IntersectCountSorted(exprs(0), exprs(1)) }),
+    (intersectBoundedName, classOf[IntersectCountSortedBounded],
+      "_FUNC_(a, b, minCount) - sorted-intersect count with the PPJoin " +
+        "positional early-exit (exact only as a >= minCount test)",
+      exprs => { arity(intersectBoundedName, exprs, 3, "a, b, minCount")
+        IntersectCountSortedBounded(exprs(0), exprs(1), exprs(2)) }),
+    (quantizeName, classOf[QuantizeInt8],
+      "_FUNC_(a) - fused symmetric int8 quantization of an embedding " +
+        "array, returning struct<scale, qvec>",
+      exprs => { arity(quantizeName, exprs, 1, "embedding")
+        QuantizeInt8(exprs(0)) }),
+    (prefixCollisionName, classOf[PrefixCollision],
+      "_FUNC_(a, b, len) - does any position j < len hold a[j] == b[j]? " +
+        "The fused first-collision predicate of the LSH candidate join",
+      exprs => { arity(prefixCollisionName, exprs, 3, "a, b, len")
+        PrefixCollision(exprs(0), exprs(1), exprs(2)) }),
+    (signBucketsName, classOf[SignBuckets],
+      "_FUNC_(v, planes) - sign-of-projection LSH bucket id of a " +
+        "numeric-array vector against a foldable plane matrix, fused loop",
+      exprs => { arity(signBucketsName, exprs, 2, "v, planes")
+        SignBuckets(exprs(0), exprs(1)) }),
+    (projectPlanesName, classOf[ProjectPlanes],
+      "_FUNC_(v, planes) - all per-plane dot products of a numeric-array " +
+        "vector against a foldable plane matrix as array<double>, fused loop",
+      exprs => { arity(projectPlanesName, exprs, 2, "v, planes")
+        ProjectPlanes(exprs(0), exprs(1)) }),
+    (winnowName, classOf[WinnowFingerprints],
+      "_FUNC_(tokens, k, w) - winnowing fingerprint selection over a " +
+        "token array: array<struct<pos, fp>> of each w-gram window's " +
+        "minimal 60-bit md5 k-gram hash (rightmost on ties), one fused " +
+        "O(G) deque pass per document",
+      winnowBuilder),
+    (subwordName, classOf[SubwordTokenize],
+      "_FUNC_(word, vocab) - greedy longest-match subword pieces of one " +
+        "word against a literal vocabulary (single-char OOV fallback)",
+      exprs => { arity(subwordName, exprs, 2, "word, vocab")
+        SubwordTokenize(exprs(0), exprs(1)) }),
+    (subwordCountName, classOf[SubwordCount],
+      "_FUNC_(tokens, vocab) - total subword-piece count of one token " +
+        "array under the same greedy rule, allocation-free",
+      exprs => { arity(subwordCountName, exprs, 2, "tokens, vocab")
+        SubwordCount(exprs(0), exprs(1)) }),
+    (bpeApplyName, classOf[BpeApply],
+      "_FUNC_(tokens, merges) - true-BPE merge application over one " +
+        "token array against a ranked 'x y' merge literal, returning " +
+        "struct<n_pieces, enc>",
+      exprs => { arity(bpeApplyName, exprs, 2, "tokens, merges")
+        BpeApply(exprs(0), exprs(1)) }),
+    (gramBucketsName, classOf[GramBuckets],
+      "_FUNC_(tokens, buckets) - hashed unigram+bigram feature buckets " +
+        "of one token array (the DSIR feature stream), one fused md5 pass",
+      exprs => { arity(gramBucketsName, exprs, 2, "tokens, buckets")
+        GramBuckets(exprs(0), intLit(gramBucketsName, exprs(1), "buckets")) }),
+    (minhashBandsName, classOf[MinhashBands],
+      "_FUNC_(tokens, numHashes, bands) - portable-family (md5-affine) " +
+        "MinHash band hashes of one distinct-token array, one fused pass",
+      exprs => { arity(minhashBandsName, exprs, 3, "tokens, numHashes, bands")
+        MinhashBands(exprs(0),
+          intLit(minhashBandsName, exprs(1), "numHashes"),
+          intLit(minhashBandsName, exprs(2), "bands")) }),
+    (minhashBandsXXName, classOf[MinhashBandsXX],
+      "_FUNC_(tokens, numHashes, bands) - production-family (xxhash64) " +
+        "MinHash band hashes of one distinct-token array, one fused pass",
+      exprs => { arity(minhashBandsXXName, exprs, 3,
+          "tokens, numHashes, bands")
+        MinhashBandsXX(exprs(0),
+          intLit(minhashBandsXXName, exprs(1), "numHashes"),
+          intLit(minhashBandsXXName, exprs(2), "bands")) }),
+    (minhashName, classOf[MinHashAgg],
+      "_FUNC_(token, numHashes) - MinHash signature aggregate over a " +
+        "token column, one long[] buffer per group",
+      exprs => { arity(minhashName, exprs, 2, "token, numHashes")
+        MinHashAgg(exprs(0), intLit(minhashName, exprs(1), "numHashes")) }))
+
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
     * Column API (call_function) and SQL. `spark.experimental` is the
-    * runtime path; GraftExtensions covers config-based deployment. */
+    * runtime path; [[GraftExtensions]] covers config-based deployment —
+    * both iterate [[catalog]]. */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
@@ -157,134 +276,10 @@ object GraftFunctions {
     // function" WARN per call, and register() runs once per table build —
     // a harness sweep would spam hundreds of them into the bench tail
     val registry = spark.sessionState.functionRegistry
-    def ifAbsent(name: String)(body: => Unit): Unit =
+    catalog.foreach { case (name, _, _, builder) =>
       if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) body
-    ifAbsent(cosineName) {
-      registry.createOrReplaceTempFunction(
-        cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    }
-    ifAbsent(intersectName) {
-      registry.createOrReplaceTempFunction(
-        intersectName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
-    }
-    ifAbsent(intersectSortedName) {
-      registry.createOrReplaceTempFunction(
-        intersectSortedName,
-        exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
-    }
-    ifAbsent(intersectBoundedName) {
-      registry.createOrReplaceTempFunction(
-        intersectBoundedName,
-        exprs => IntersectCountSortedBounded(exprs(0), exprs(1), exprs(2)),
-        "built-in")
-    }
-    ifAbsent(quantizeName) {
-      registry.createOrReplaceTempFunction(
-        quantizeName, exprs => QuantizeInt8(exprs(0)), "built-in")
-    }
-    ifAbsent(prefixCollisionName) {
-      registry.createOrReplaceTempFunction(
-        prefixCollisionName,
-        exprs => PrefixCollision(exprs(0), exprs(1), exprs(2)), "built-in")
-    }
-    ifAbsent(signBucketsName) {
-      registry.createOrReplaceTempFunction(
-        signBucketsName, exprs => SignBuckets(exprs(0), exprs(1)), "built-in")
-    }
-    ifAbsent(projectPlanesName) {
-      registry.createOrReplaceTempFunction(
-        projectPlanesName, exprs => ProjectPlanes(exprs(0), exprs(1)), "built-in")
-    }
-    ifAbsent(winnowName) {
-      registry.createOrReplaceTempFunction(
-        winnowName, winnowBuilder, "built-in")
-    }
-    ifAbsent(subwordName) {
-      registry.createOrReplaceTempFunction(
-        subwordName, exprs => {
-          if (exprs.length != 2) throw new IllegalArgumentException(
-            s"$subwordName expects 2 arguments (word, vocab), got ${exprs.length}")
-          SubwordTokenize(exprs(0), exprs(1))
-        }, "built-in")
-    }
-    ifAbsent(subwordCountName) {
-      registry.createOrReplaceTempFunction(
-        subwordCountName, exprs => {
-          if (exprs.length != 2) throw new IllegalArgumentException(
-            s"$subwordCountName expects 2 arguments (tokens, vocab), " +
-              s"got ${exprs.length}")
-          SubwordCount(exprs(0), exprs(1))
-        }, "built-in")
-    }
-    ifAbsent(bpeApplyName) {
-      registry.createOrReplaceTempFunction(
-        bpeApplyName, exprs => {
-          if (exprs.length != 2) throw new IllegalArgumentException(
-            s"$bpeApplyName expects 2 arguments (tokens, merges), " +
-              s"got ${exprs.length}")
-          BpeApply(exprs(0), exprs(1))
-        }, "built-in")
-    }
-    ifAbsent(gramBucketsName) {
-      registry.createOrReplaceTempFunction(
-        gramBucketsName, exprs => {
-          if (exprs.length != 2) throw new IllegalArgumentException(
-            s"$gramBucketsName expects 2 arguments (tokens, buckets), got ${exprs.length}")
-          val b = if (exprs(1).foldable) exprs(1).eval() else null
-          b match {
-            case i: java.lang.Integer => GramBuckets(exprs(0), i.intValue())
-            case l: java.lang.Long if l.longValue().isValidInt =>
-              GramBuckets(exprs(0), l.intValue())
-            case _ => throw new IllegalArgumentException(
-              s"$gramBucketsName buckets must be an int literal, got ${exprs(1)}")
-          }
-        }, "built-in")
-    }
-    ifAbsent(minhashBandsName) {
-      registry.createOrReplaceTempFunction(
-        minhashBandsName, exprs => {
-          if (exprs.length != 3) throw new IllegalArgumentException(
-            s"$minhashBandsName expects 3 arguments (tokens, numHashes, " +
-              s"bands), got ${exprs.length}")
-          def intLit(e: Expression, what: String): Int =
-            (if (e.foldable) e.eval() else null) match {
-              case i: java.lang.Integer => i.intValue()
-              case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
-              case _ => throw new IllegalArgumentException(
-                s"$minhashBandsName $what must be an int literal, got $e")
-            }
-          MinhashBands(exprs(0), intLit(exprs(1), "numHashes"),
-            intLit(exprs(2), "bands"))
-        }, "built-in")
-    }
-    ifAbsent(minhashBandsXXName) {
-      registry.createOrReplaceTempFunction(
-        minhashBandsXXName, exprs => {
-          if (exprs.length != 3) throw new IllegalArgumentException(
-            s"$minhashBandsXXName expects 3 arguments (tokens, numHashes, " +
-              s"bands), got ${exprs.length}")
-          def intLit(e: Expression, what: String): Int =
-            (if (e.foldable) e.eval() else null) match {
-              case i: java.lang.Integer => i.intValue()
-              case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
-              case _ => throw new IllegalArgumentException(
-                s"$minhashBandsXXName $what must be an int literal, got $e")
-            }
-          MinhashBandsXX(exprs(0), intLit(exprs(1), "numHashes"),
-            intLit(exprs(2), "bands"))
-        }, "built-in")
-    }
-    ifAbsent(minhashName) {
-      registry.createOrReplaceTempFunction(
-        minhashName, exprs => {
-          val n = exprs(1) match {
-            case e if e.foldable => e.eval().asInstanceOf[Int]
-            case other => throw new IllegalArgumentException(
-              s"$minhashName numHashes must be a literal, got $other")
-          }
-          MinHashAgg(exprs(0), n)
-        }, "built-in")
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 

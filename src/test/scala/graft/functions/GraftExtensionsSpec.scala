@@ -36,6 +36,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT size(graft_winnow_fingerprints(array('a','b','c','d'), 2, 2)) AS n")
         .collect()(0).getInt(0)
       assert(fps >= 1 && fps <= 3)
+      // PARITY PIN: every catalog function resolves in the
+      // extensions-built session — the two deployment paths iterate the
+      // same table, so a function added to register() can never be
+      // missing from a config-deployed cluster again (the hand-kept list
+      // this replaced had drifted 9 functions behind)
+      val reg = spark.sessionState.functionRegistry
+      GraftFunctions.catalog.foreach { case (name, _, _, _) =>
+        assert(reg.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"$name missing from the extensions-deployed session")
+      }
+      // and a catalog member from the previously-drifted set WORKS
+      val mh = spark.sql(
+        "SELECT size(graft_minhash_bands_xx(array('a','b'), 64, 16)) AS n")
+        .collect()(0).getInt(0)
+      assert(mh === 16)
     } finally {
       // do not stop(): the underlying SparkContext is shared; restore the
       // suite-wide default session
