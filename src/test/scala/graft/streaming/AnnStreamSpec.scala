@@ -38,6 +38,36 @@ class AnnStreamSpec extends SparkSpec {
     assert(after.collect().map(_.toSeq).toSet === firstCells)
   }
 
+  test("ivfAppendStream delivers each micro-batch's assignment and grows the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = new ParquetStore(spark, tmpDir("annstream_q"))
+    IvfIndex.buildPortable(emb.filter(col("vec_id") < 100), store, "idx",
+      numCentroids = 8)
+    val rows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfAppendStream(
+      mem.toDF().toDF("vec_id", "embedding"), store, "idx",
+      sink = s => delivered.synchronized {
+        delivered += s.select("vec_id").collect().map(_.getLong(0)).toSet
+      })
+    try {
+      mem.addData(rows.take(20).toSeq); q.processAllAvailable()
+      mem.addData(rows.drop(20).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(delivered.toList ===
+      List(rows.take(20).map(_._1).toSet, rows.drop(20).map(_._1).toSet))
+    // index grew by exactly the streamed vectors, one row each, and the
+    // streamed layout equals the one-shot batch assignment
+    val appended = store.read("idx_cells")
+      .filter(col("src_batch") =!= IvfIndex.NoBatch)
+    assert(appended.count() === 40)
+    assert(appended.select("cand_id").distinct().count() === 40)
+  }
+
   test("streamed appends equal the non-streaming append; query unaffected") {
     val streamed = new ParquetStore(spark, tmpDir("annstream_s"))
     val batch = new ParquetStore(spark, tmpDir("annstream_b"))
