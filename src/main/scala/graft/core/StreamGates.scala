@@ -40,4 +40,35 @@ object StreamGates {
     crc.update(dataDir.getBytes("UTF-8"))
     f"$prefix${crc.getValue}%08x_$semVer"
   }
+
+  /** The at-least-once delivery recorder every stream gate's cold run
+    * uses: the [[sink]] freezes each trigger's delivered frame at
+    * delivery time (localCheckpoint — the sink's view of the stream; a
+    * later state append must not retro-change it), and [[persist]]
+    * writes per-key delivery counts as the gate's ledger table. One
+    * implementation instead of a per-gate copy: the fallback-schema and
+    * checkpoint semantics are part of what the three existing gates
+    * certify, so they must not drift between gates. Compose a
+    * projection into the sink at the gate site when only part of the
+    * delivered row belongs in the ledger
+    * (`df => ledger.sink(df.select("doc_id"))`). */
+  final class DeliveryLedger {
+    private val delivered = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+
+    val sink: org.apache.spark.sql.DataFrame => Unit =
+      df => { delivered += df.localCheckpoint(true); () }
+
+    /** Write `groupCols -> n_deliveries` to `ledgerTable`; `empty` is a
+      * zero-row frame with the delivered schema (the no-trigger case —
+      * the ledger must still exist for the warm path's guard). */
+    def persist(empty: org.apache.spark.sql.DataFrame,
+        groupCols: Seq[String], ledgerTable: String): Unit = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      delivered.reduceOption(_.unionByName(_)).getOrElse(empty)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_deliveries"))
+        .write.mode("overwrite").saveAsTable(ledgerTable)
+    }
+  }
 }

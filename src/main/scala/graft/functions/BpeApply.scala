@@ -67,10 +67,15 @@ case class BpeApply(left: Expression, right: Expression)
     val r = new Array[String](n)
     var i = 0
     while (i < n) {
-      val entry = m.getUTF8String(i).toString
+      val e = m.getUTF8String(i)
+      require(e != null, s"$prettyName merge entries must not be NULL")
+      val entry = e.toString
       val sp = entry.indexOf(' ')
       require(sp > 0 && sp < entry.length - 1,
         s"$prettyName merge entries must be 'x y' pairs, got '$entry'")
+      require(!entry.contains('|'),
+        s"$prettyName merge pieces must not contain '|' " +
+          s"(the boundary-encoding character), got '$entry'")
       val x = entry.substring(0, sp)
       val y = entry.substring(sp + 1)
       p(i) = s"|$x|$y|"
@@ -91,11 +96,25 @@ case class BpeApply(left: Expression, right: Expression)
       val w = tokens.getUTF8String(i)
       if (w != null) {
         val str = w.toString
-        // boundary encoding of the single-char start state
+        // boundary encoding of the single-char start state. The '|' and
+        // whitespace guards are the encoding's soundness precondition: a
+        // user pipe would be indistinguishable from a piece boundary
+        // (wrong n_pieces, ambiguous enc) and a space would collide with
+        // the word-join separator — fail LOUDLY with the function's name
+        // (the pplBuckets raise_error precedent) instead of returning
+        // silently-wrong output. Whitespace tokenizers never produce
+        // either; a direct SQL caller with raw data pre-filters.
         val b = new java.lang.StringBuilder(str.length * 2 + 1)
         b.append('|')
         var c = 0
-        while (c < str.length) { b.append(str.charAt(c)); b.append('|'); c += 1 }
+        while (c < str.length) {
+          val ch = str.charAt(c)
+          if (ch == '|' || Character.isWhitespace(ch))
+            throw new IllegalArgumentException(
+              s"$prettyName tokens must not contain '|' or whitespace " +
+                s"(boundary-encoding characters), got '$str'")
+          b.append(ch); b.append('|'); c += 1
+        }
         var s = b.toString
         // reference loop: lowest-rank applicable merge, replace, repeat
         var merged = true

@@ -94,6 +94,17 @@ object IvfIndex {
   def appendCells(cells: DataFrame, store: ParquetStore, name: String,
       batchId: Long): Unit = {
     val target = s"${name}_cells"
+    // format guard: a cells layout persisted before src_batch tagging
+    // must be rebuilt, not appended onto — the replay guard's filter
+    // would fail to resolve, and a guardless append would mix schemas
+    // in one directory (schema inference then exposes or drops the
+    // column depending on which footer is sampled). Same loud-rebuild
+    // contract as BandIndex's sorted-arrays format note.
+    if (store.exists(target)
+        && !store.read(target).columns.contains("src_batch"))
+      throw new IllegalStateException(
+        s"IVF index '$name' predates src_batch tagging — rebuild it " +
+          "(build/buildPortable) before appending")
     val unseen =
       if (batchId == NoBatch || !store.exists(target)) cells
       else cells.join(

@@ -194,22 +194,15 @@ object SimilarityQueries {
         // deterministic BY RESET: the grown cells layout is the stream's
         // output, so rebuild the corpus-only index before the triggers
         IvfIndex.buildPortable(slice(0, 300), store, "idx", numCentroids = 16)
-        val delivered = scala.collection.mutable.ArrayBuffer.empty[
-          org.apache.spark.sql.DataFrame]
-        val sink = (df: org.apache.spark.sql.DataFrame) => {
-          delivered += df.localCheckpoint(true); ()
-        }
-        AnnStream.trigger(slice(300, 350), 0L, store, "idx", sink)
+        val dlv = new graft.core.StreamGates.DeliveryLedger
+        AnnStream.trigger(slice(300, 350), 0L, store, "idx", dlv.sink)
         // at-least-once replay of batch 0 — same assignments delivered
         // again, no new index rows
-        AnnStream.trigger(slice(300, 350), 0L, store, "idx", sink)
-        AnnStream.trigger(slice(350, 400), 1L, store, "idx", sink)
-        delivered.reduceOption(_.unionByName(_))
-          .getOrElse(emb.select(col("vec_id")).withColumn("cell", lit(0L))
-            .limit(0))
-          .groupBy("vec_id", "cell")
-          .agg(count(lit(1)).as("n_deliveries"))
-          .write.mode("overwrite").saveAsTable(ledger)
+        AnnStream.trigger(slice(300, 350), 0L, store, "idx", dlv.sink)
+        AnnStream.trigger(slice(350, 400), 1L, store, "idx", dlv.sink)
+        dlv.persist(
+          emb.select(col("vec_id")).withColumn("cell", lit(0L)).limit(0),
+          Seq("vec_id", "cell"), ledger)
       }
       val idxRows = store.read("idx_cells")
         .filter(col("src_batch") =!= lit(IvfIndex.NoBatch))

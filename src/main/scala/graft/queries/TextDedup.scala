@@ -400,22 +400,15 @@ object TextDedup {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
         BloomStream.seed(slice(0, 100), "doc_id", table)
         val state = BloomStream.recover(s, table, "doc_id", mBits, k)
-        val delivered = scala.collection.mutable.ArrayBuffer.empty[
-          org.apache.spark.sql.DataFrame]
-        val sink = (df: org.apache.spark.sql.DataFrame) => {
-          delivered += df.localCheckpoint(true); ()
-        }
+        val dlv = new graft.core.StreamGates.DeliveryLedger
         val b0 = slice(100, 200).unionByName(slice(0, 20))
         val b1 = slice(200, 300).unionByName(slice(120, 140))
           .unionByName(slice(20, 40))
-        BloomStream.trigger(b0, 0L, "doc_id", table, state, sink)
-        BloomStream.trigger(b1, 1L, "doc_id", table, state, sink)
+        BloomStream.trigger(b0, 0L, "doc_id", table, state, dlv.sink)
+        BloomStream.trigger(b1, 1L, "doc_id", table, state, dlv.sink)
         // at-least-once replay of batch 0 — same survivors, no new keys
-        BloomStream.trigger(b0, 0L, "doc_id", table, state, sink)
-        delivered.reduceOption(_.unionByName(_))
-          .getOrElse(keys.limit(0))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_deliveries"))
-          .write.mode("overwrite").saveAsTable(ledger)
+        BloomStream.trigger(b0, 0L, "doc_id", table, state, dlv.sink)
+        dlv.persist(keys.limit(0), Seq("doc_id"), ledger)
       }
       s.catalog.refreshTable(table)
       val keyRows = s.table(table)
@@ -551,11 +544,9 @@ object TextDedup {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
         graft.operators.BandIndex.build(slice(0, 300), "doc_id", "text",
           numHashes = 64, bands = 16, buckets = 8, idx)
-        val delivered = scala.collection.mutable.ArrayBuffer.empty[
-          org.apache.spark.sql.DataFrame]
-        val sink = (df: org.apache.spark.sql.DataFrame) => {
-          delivered += df.select("doc_id").localCheckpoint(true); ()
-        }
+        val dlv = new graft.core.StreamGates.DeliveryLedger
+        val sink = (df: org.apache.spark.sql.DataFrame) =>
+          dlv.sink(df.select("doc_id"))
         val (b0, b1) = (slice(300, 350), slice(350, 400))
         EventStreams.growIndexTrigger(b0, 0L, "doc_id", "text",
           numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
@@ -565,10 +556,7 @@ object TextDedup {
           numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
         EventStreams.growIndexTrigger(b1, 1L, "doc_id", "text",
           numHashes = 64, bands = 16, threshold = 0.8, idx, buckets = 8, sink)
-        delivered.reduceOption(_.unionByName(_))
-          .getOrElse(docs.select("doc_id").limit(0))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_deliveries"))
-          .write.mode("overwrite").saveAsTable(ledger)
+        dlv.persist(docs.select("doc_id").limit(0), Seq("doc_id"), ledger)
       }
       val idxRows = graft.core.VersionedTable.refreshed(s, s"${idx}_toks")
         .groupBy("doc_id").agg(count(lit(1)).as("n_index_rows"))

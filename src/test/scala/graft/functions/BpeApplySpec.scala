@@ -69,4 +69,20 @@ class BpeApplySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("x y"))
   }
+
+  test("boundary-encoding preconditions fail loudly, never silently corrupt") {
+    // a '|' in a token would be indistinguishable from a piece boundary
+    // (wrong n_pieces, ambiguous enc); whitespace would collide with the
+    // word-join separator — both are named errors, not wrong output
+    val e = intercept[Exception] { run(Seq("a|b"), Seq("a b")) }
+    assert(e.getMessage.contains("boundary-encoding"))
+    val e2 = intercept[Exception] { run(Seq("a b"), Seq("a b")) }
+    assert(e2.getMessage.contains("boundary-encoding"))
+    // merge pieces under the same rule
+    val e3 = intercept[Exception] { run(Seq("ab"), Seq("a| b")) }
+    assert(e3.getMessage.contains("must not contain '|'"))
+    // a NULL merge entry gets the named error, not a bare NPE
+    val e4 = intercept[Exception] { run(Seq("ab"), Seq("a b", null)) }
+    assert(e4.getMessage.contains("must not be NULL"))
+  }
 }

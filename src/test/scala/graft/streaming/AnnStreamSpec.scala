@@ -68,6 +68,23 @@ class AnnStreamSpec extends SparkSpec {
     assert(appended.select("cand_id").distinct().count() === 40)
   }
 
+  test("appending onto a pre-src_batch cells layout fails loudly") {
+    // a cells directory persisted before src_batch tagging must be
+    // rebuilt, not appended onto — a guardless append would mix schemas
+    // in one directory (IvfIndex format guard)
+    val store = new ParquetStore(spark, tmpDir("annstream_l"))
+    IvfIndex.buildPortable(emb.filter(col("vec_id") < 50), store, "idx",
+      numCentroids = 8)
+    val legacy = store.read("idx_cells").drop("src_batch")
+      .localCheckpoint(true) // materialize before overwriting its source
+    store.writePartitioned("idx_cells", legacy, Seq("cell"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 60), store, "idx")
+    }
+    assert(e.getMessage.contains("predates src_batch"))
+  }
+
   test("streamed appends equal the non-streaming append; query unaffected") {
     val streamed = new ParquetStore(spark, tmpDir("annstream_s"))
     val batch = new ParquetStore(spark, tmpDir("annstream_b"))
