@@ -18,20 +18,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * array order) and `n_pieces` is the total piece count.
   *
   * Algorithm (Sennrich et al. 2016 inference; the GPT-2 reference loop):
-  * start from single characters, repeatedly find the LOWEST-RANK merge
-  * whose pair is adjacent somewhere in the word and replace its
-  * occurrences, until no merge applies. The per-step replacement is
-  * left-to-right non-overlapping on the boundary encoding
-  * (`s.replace("|x|y|", "|xy|")`) — an occurrence sharing its boundary
-  * pipe with a just-replaced one is picked up by the NEXT iteration,
-  * which re-selects the same still-lowest rank, so the fixpoint equals
-  * the reference algorithm's. This step is EXACTLY replayable in SQL
-  * (`replace(s, pat, rep)` has the same left-to-right non-overlap
-  * semantics in DuckDB), which is what puts the whole merge loop under a
-  * hash-checked oracle (gate txt_bpe_apply): each unrolled oracle step
-  * applies the min-rank `contains` hit via one `replace`, and ≤ maxlen−1
-  * steps reach the fixpoint because every productive step removes at
-  * least one piece.
+  * start from single characters, repeatedly pick the LOWEST-RANK merge
+  * whose pair `(x,y)` is adjacent somewhere in the piece sequence, merge
+  * ALL its occurrences in one left-to-right pass (after merging at
+  * `(i,i+1)` the scan continues at `i+2`, so a run like `aaaaa` under
+  * merge `(a,a)` becomes `aa aa a`, never `aa a aa`), then re-pick —
+  * until no merge applies. This is the literal piece-array pass from the
+  * reference implementations, NOT string `replace` (whose
+  * scan-past-the-consumed-boundary semantics diverges on repeated-pair
+  * runs: `replace` on the boundary encoding of `aaaaa` yields
+  * `|aa|a|aa|`).
+  *
+  * The whole loop is still EXACTLY replayable in SQL (gate
+  * txt_bpe_apply) through an equivalent serialization: iterate "merge
+  * the SINGLE LEFTMOST occurrence of the current pair" with a STICKY
+  * pick rule (keep the previous step's pair while it is still present,
+  * else the min-rank pair present). Equivalence: (1) merging an
+  * occurrence of `(x,y)` can never create a new occurrence of the same
+  * pair (`xy` differs from both `x` and `y` — pieces are non-empty) nor
+  * one left of the merge point (new adjacencies involve only the merged
+  * piece), so iterated leftmost-single-merge visits exactly the pass's
+  * occurrences in the same order with identical overlap resolution;
+  * (2) sticky pick = finish the current pair's pass before re-picking,
+  * exactly the reference outer loop. Each oracle step is one
+  * first-match `regexp_replace(s, '\|x\|y\|', '|xy|')` (DuckDB replaces
+  * only the leftmost match without the 'g' flag), and ≤ maxlen−1 steps
+  * reach the fixpoint because every productive step removes exactly one
+  * piece.
   *
   * Null token slots are skipped. Matching is by Java/UTF-16 code units —
   * parity with character-based SQL engines holds on BMP text; the gate
@@ -58,13 +71,20 @@ case class BpeApply(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_bpe_apply"
 
-  // "x y" entries in rank order → boundary-encoded search/replace pairs,
+  // "x y" entries in rank order → (x, y, xy) piece triples plus a
+  // first-rank-wins adjacency→rank lookup (keyed by the entry string
+  // itself — sound because pieces are whitespace-free by construction:
+  // tokens are guarded below and merge pieces are guarded here),
   // materialized once per expression instance
-  @transient private lazy val (pats, reps): (Array[String], Array[String]) = {
+  @transient private lazy val (lefts, rights, joined, rankOf)
+      : (Array[String], Array[String], Array[String],
+         java.util.HashMap[String, Integer]) = {
     val m = right.eval().asInstanceOf[ArrayData]
     val n = m.numElements()
-    val p = new Array[String](n)
-    val r = new Array[String](n)
+    val xs = new Array[String](n)
+    val ys = new Array[String](n)
+    val xy = new Array[String](n)
+    val rk = new java.util.HashMap[String, Integer](n * 2)
     var i = 0
     while (i < n) {
       val e = m.getUTF8String(i)
@@ -78,17 +98,21 @@ case class BpeApply(left: Expression, right: Expression)
           s"(the boundary-encoding character), got '$entry'")
       val x = entry.substring(0, sp)
       val y = entry.substring(sp + 1)
-      p(i) = s"|$x|$y|"
-      r(i) = s"|$x$y|"
+      require(y.indexOf(' ') < 0 && !x.exists(Character.isWhitespace) &&
+          !y.exists(Character.isWhitespace),
+        s"$prettyName merge pieces must not contain whitespace, got '$entry'")
+      xs(i) = x
+      ys(i) = y
+      xy(i) = x + y
+      rk.putIfAbsent(entry, Integer.valueOf(i))
       i += 1
     }
-    (p, r)
+    (xs, ys, xy, rk)
   }
 
   /** One document's merged piece stream — public for generated code. */
   def compute(tokens: ArrayData): InternalRow = {
     val n = tokens.numElements()
-    val np = pats.length
     val enc = new java.lang.StringBuilder(64)
     var pieces = 0L
     var i = 0
@@ -96,16 +120,15 @@ case class BpeApply(left: Expression, right: Expression)
       val w = tokens.getUTF8String(i)
       if (w != null) {
         val str = w.toString
-        // boundary encoding of the single-char start state. The '|' and
-        // whitespace guards are the encoding's soundness precondition: a
-        // user pipe would be indistinguishable from a piece boundary
-        // (wrong n_pieces, ambiguous enc) and a space would collide with
-        // the word-join separator — fail LOUDLY with the function's name
-        // (the pplBuckets raise_error precedent) instead of returning
+        // single-char start state. The '|' and whitespace guards are the
+        // output encoding's soundness precondition: a user pipe would be
+        // indistinguishable from a piece boundary (wrong n_pieces,
+        // ambiguous enc) and a space would collide with the word-join
+        // separator — fail LOUDLY with the function's name (the
+        // pplBuckets raise_error precedent) instead of returning
         // silently-wrong output. Whitespace tokenizers never produce
         // either; a direct SQL caller with raw data pre-filters.
-        val b = new java.lang.StringBuilder(str.length * 2 + 1)
-        b.append('|')
+        val ps = new Array[String](str.length)
         var c = 0
         while (c < str.length) {
           val ch = str.charAt(c)
@@ -113,26 +136,44 @@ case class BpeApply(left: Expression, right: Expression)
             throw new IllegalArgumentException(
               s"$prettyName tokens must not contain '|' or whitespace " +
                 s"(boundary-encoding characters), got '$str'")
-          b.append(ch); b.append('|'); c += 1
+          ps(c) = String.valueOf(ch)
+          c += 1
         }
-        var s = b.toString
-        // reference loop: lowest-rank applicable merge, replace, repeat
-        var merged = true
-        while (merged) {
-          merged = false
-          var k = 0
-          while (k < np && !merged) {
-            if (s.contains(pats(k))) { s = s.replace(pats(k), reps(k)); merged = true }
-            k += 1
+        var len = str.length
+        // reference loop: lowest-rank pair adjacent anywhere, merge ALL
+        // its occurrences in one left-to-right pass (continue past both
+        // merged pieces), re-pick, until no merge applies
+        var done = len < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var j = 0
+          while (j < len - 1) {
+            val r = rankOf.get(ps(j) + " " + ps(j + 1))
+            if (r != null && r.intValue() < best) best = r.intValue()
+            j += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val x = lefts(best); val y = rights(best); val m = joined(best)
+            var wr = 0
+            var rd = 0
+            while (rd < len) {
+              if (rd < len - 1 && ps(rd) == x && ps(rd + 1) == y) {
+                ps(wr) = m; rd += 2
+              } else {
+                ps(wr) = ps(rd); rd += 1
+              }
+              wr += 1
+            }
+            len = wr
+            if (len < 2) done = true
           }
         }
         if (enc.length > 0) enc.append(' ')
-        enc.append(s)
-        // pieces = boundary pipes − 1 (empty word contributes "|" → 0)
-        var pipes = 0
+        enc.append('|')
         var j = 0
-        while (j < s.length) { if (s.charAt(j) == '|') pipes += 1; j += 1 }
-        pieces += math.max(pipes - 1, 0)
+        while (j < len) { enc.append(ps(j)); enc.append('|'); j += 1 }
+        pieces += len
       }
       i += 1
     }

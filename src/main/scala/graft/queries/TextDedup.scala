@@ -273,14 +273,16 @@ object TextDedup {
     },
 
     // ---- True-BPE merge application: the next tokenizer-realism step
-    // past the greedy MaxMatch gates — iteratively apply the lowest-rank
-    // merge from a fixed ranked table until none applies (the reference
-    // BPE inference loop), certified piece-for-piece: the oracle replays
-    // the merge loop as maxLen−1 unrolled min-rank-contains → replace
-    // steps and the md5 covers every piece boundary of every word.
-    // Words are scoped to engine-portable [a-z]{1,12} (bounds the
-    // unrolling; char-splitting is identical across engines). Pure
-    // per-row algebra, zero shuffle; one kernel call per document.
+    // past the greedy MaxMatch gates — repeatedly merge all occurrences
+    // of the lowest-rank adjacent pair in one left-to-right pass until
+    // none applies (the reference BPE inference loop), certified
+    // piece-for-piece: the oracle replays the loop as maxLen−1 unrolled
+    // sticky-pick leftmost-single-merge steps (fixpoint-equivalent to
+    // the pass — argument on the kernel's scaladoc) and the md5 covers
+    // every piece boundary of every word. Words are scoped to
+    // engine-portable [a-z]{1,12} (bounds the unrolling; char-splitting
+    // is identical across engines). Pure per-row algebra, zero shuffle;
+    // one kernel call per document.
     GQuery(
       "txt_bpe_apply",
       bpeApplyOracle(TextOps.demoBpeMerges, maxLen = 12, scopeLim = 500)) {
@@ -296,6 +298,35 @@ object TextDedup {
             TextOps.demoBpeMerges).as("r"))
         .select(col("doc_id"), col("n_words"),
           col("r.n_pieces").as("n_pieces"), md5(col("r.enc")).as("pieces_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Full-corpus BPE accounting: the PRODUCTION shape of the merge
+    // loop — one kernel call per document over the WHOLE corpus (no
+    // doc_id scope), zero shuffle before the final presentation sort —
+    // gated on per-doc word/piece totals (the SubwordCount pattern: the
+    // counts certify every word's fixpoint piece count; the piece
+    // strings themselves are certified at gate scope by txt_bpe_apply).
+    // Words widen txt_bpe_apply's scope to [a-z]{1,12}(~[0-9]{1,2})? —
+    // still all-ASCII (engine-portable char split), and the optional ~N
+    // suffix is what the scaled corpora stamp on replicated docs' words,
+    // so the gate does real kernel work on EVERY doc at x2/x5/x10, not
+    // just the originals. 15 chars max bounds the oracle's unrolling.
+    GQuery(
+      "txt_bpe_corpus",
+      bpeCorpusOracle(TextOps.demoBpeMerges, maxLen = 15,
+        wordRe = "[a-z]{1,12}(~[0-9]{1,2})?")) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val ws = filter(TextOps.tokens(col("text")),
+        w => w.rlike("^[a-z]{1,12}(~[0-9]{1,2})?$"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          graft.functions.GraftFunctions.bpeApply(col("ws"),
+            TextOps.demoBpeMerges).as("r"))
+        .select(col("doc_id"), col("n_words"),
+          col("r.n_pieces").as("n_pieces"))
         .orderBy("doc_id")
     },
 
@@ -1749,53 +1780,89 @@ object TextDedup {
   }
 
   /** Unrolled SQL replay of the true-BPE merge loop (gate
-    * txt_bpe_apply): each step applies the MIN-RANK merge whose
-    * boundary-encoded pair pattern the word still contains, via one
-    * left-to-right non-overlapping `replace` (the same semantics as the
-    * kernel's `String.replace` — see [[graft.functions.BpeApply]]).
-    * maxLen−1 chained steps provably reach the fixpoint: qualifying
-    * words have ≤ maxLen chars and every productive step removes at
-    * least one piece, so no recursion is needed (and each step CTE has
-    * exactly one consumer — no DuckDB re-inlining hazard). */
+    * txt_bpe_apply): the kernel's reference pass — lowest-rank pair,
+    * merge ALL occurrences left-to-right continuing past each merged
+    * pair, re-pick — is serialized as iterated SINGLE-leftmost-occurrence
+    * merges with a STICKY pick (keep the previous step's pair while its
+    * pattern is still contained, else the min-rank pattern contained),
+    * which reaches the same fixpoint (the equivalence argument lives on
+    * [[graft.functions.BpeApply]]; BpeApplySpec pins it property-style).
+    * Each step is one first-match `regexp_replace` (DuckDB replaces only
+    * the LEFTMOST match without the 'g' flag). maxLen−1 chained steps
+    * provably reach the fixpoint: qualifying words have ≤ maxLen chars
+    * and every productive step removes exactly one piece, so no
+    * recursion is needed (and each step CTE has exactly one consumer —
+    * no DuckDB re-inlining hazard). */
   private def bpeApplyOracle(merges: Seq[String], maxLen: Int,
-      scopeLim: Int): String = {
+      scopeLim: Int): String =
+    bpeOracleSql(merges, maxLen, s"WHERE doc_id < $scopeLim",
+      s"[a-z]{1,$maxLen}", countsOnly = false)
+
+  /** Corpus-wide counts-only variant (gate txt_bpe_corpus): the same
+    * unrolled sticky-pick replay over EVERY document's qualifying words,
+    * aggregated to per-doc word/piece totals — no piece strings, which
+    * keeps the oracle's output tiny while its merge loop still certifies
+    * every word's final piece count at production scope. */
+  private def bpeCorpusOracle(merges: Seq[String], maxLen: Int,
+      wordRe: String): String =
+    bpeOracleSql(merges, maxLen, "", wordRe, countsOnly = true)
+
+  private def bpeOracleSql(merges: Seq[String], maxLen: Int,
+      scope: String, wordRe: String, countsOnly: Boolean): String = {
+    def rx(lit: String): String =
+      lit.flatMap(c => if (c.isLetterOrDigit) s"$c" else s"\\$c")
     val vals = merges.zipWithIndex.map { case (m, i) =>
       val sp = m.indexOf(' ')
       val (x, y) = (m.substring(0, sp), m.substring(sp + 1))
-      s"('|$x|$y|', '|$x$y|', $i)"
+      s"('|$x|$y|', '${rx(s"|$x|$y|")}', '|$x$y|', $i)"
     }.mkString(",\n    ")
     val steps = (1 until maxLen).map { k =>
       s"""s$k AS (
          |  SELECT doc_id, wi,
          |    CASE WHEN m.pat IS NULL THEN s
-         |         ELSE replace(s, m.pat, m.rep) END AS s
+         |         ELSE regexp_replace(s, m.rx, m.rep) END AS s,
+         |    m.r AS pr
          |  FROM s${k - 1} LEFT JOIN LATERAL (
-         |    SELECT pat, rep FROM merges WHERE contains(s${k - 1}.s, pat)
-         |    ORDER BY r LIMIT 1) m ON TRUE)""".stripMargin
+         |    SELECT pat, rx, rep, r FROM merges
+         |    WHERE contains(s${k - 1}.s, pat)
+         |    ORDER BY (r IS DISTINCT FROM s${k - 1}.pr), r LIMIT 1) m
+         |    ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH merges(pat, rep, r) AS (VALUES
+    val per =
+      if (countsOnly)
+        s"""per AS (
+           |  SELECT doc_id, count(*) AS n_words,
+           |    sum(len(string_split(s, '|')) - 2) AS n_pieces
+           |  FROM s${maxLen - 1} GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(n_pieces AS BIGINT) AS n_pieces
+           |FROM per ORDER BY doc_id""".stripMargin
+      else
+        s"""per AS (
+           |  SELECT doc_id, count(*) AS n_words,
+           |    sum(len(string_split(s, '|')) - 2) AS n_pieces,
+           |    md5(string_agg(s, ' ' ORDER BY wi)) AS pieces_md5
+           |  FROM s${maxLen - 1} GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(n_pieces AS BIGINT) AS n_pieces, pieces_md5
+           |FROM per ORDER BY doc_id""".stripMargin
+    s"""WITH merges(pat, rx, rep, r) AS (VALUES
        |    $vals),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM documents WHERE doc_id < $scopeLim),
+       |  FROM documents $scope),
        |w AS (
        |  SELECT doc_id, i AS wi, t[i] AS w
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
        |        FROM toks) x
-       |  WHERE regexp_matches(t[i], '^[a-z]{1,$maxLen}$$')),
+       |  WHERE regexp_matches(t[i], '^$wordRe$$')),
        |s0 AS (
        |  SELECT doc_id, wi,
-       |    '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+       |    '|' || array_to_string(string_split(w, ''), '|') || '|' AS s,
+       |    CAST(NULL AS INTEGER) AS pr
        |  FROM w),
        |$steps,
-       |per AS (
-       |  SELECT doc_id, count(*) AS n_words,
-       |    sum(len(string_split(s, '|')) - 2) AS n_pieces,
-       |    md5(string_agg(s, ' ' ORDER BY wi)) AS pieces_md5
-       |  FROM s${maxLen - 1} GROUP BY doc_id)
-       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       |  CAST(n_pieces AS BIGINT) AS n_pieces, pieces_md5
-       |FROM per ORDER BY doc_id""".stripMargin
+       |$per""".stripMargin
   }
 
   private def subwordOracle(vocab: Seq[String]): String =
