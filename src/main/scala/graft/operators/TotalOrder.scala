@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
+import graft.core.SourceFingerprint
 
 /** Scale-safe total-order primitives: global row numbers and global
   * running sums WITHOUT the single-partition window collapse.
@@ -256,6 +257,137 @@ object TotalOrder {
       }
     }
 
+  // --------------------------------------------------------------------
+  // Persisted order statistics: boundaries + per-bucket weighted totals,
+  // fingerprinted on the source files. Boundaries alone are
+  // correctness-neutral (any sorted array partitions the order), but
+  // TOTALS are not — a stale total gives a wrong prefix offset and a
+  // silently wrong running sum — so unlike the boundary table this state
+  // is only ever served when [[graft.core.SourceFingerprint]] of the
+  // input's files matches the fingerprint recorded at build time; any
+  // mismatch logs and falls back to the in-plan computation. This is the
+  // BandIndex/IvfIndex lifecycle applied to the total-order family: an
+  // ingest pipeline lands the stats once next to the data, and every
+  // later budget-bounded shard cut reads ~nb numbers instead of
+  // re-scanning the corpus — the bounded cum-sum path below prunes the
+  // SCAN with a literal boundary predicate, tokenizes (or otherwise
+  // projects) only the buckets that can contribute kept rows, and adds
+  // prefix offsets as literals: zero aggregates, zero joins, one window
+  // exchange over ~⌈budget/bucket⌉ buckets at any corpus size.
+  // --------------------------------------------------------------------
+
+  private def ordStatsTableFor(key: (Int, String, Int), weightCol: String)
+      : String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(s"${key._1}|${key._2}|${key._3}|$weightCol".getBytes("UTF-8"))
+    f"graft_ordstats_${crc.getValue}%08x"
+  }
+
+  /** Persist boundaries AND per-bucket totals of `weightCol` over
+    * `orderCol` order for `df`, fingerprinted on the input's files.
+    * Idempotent: a no-op when the table exists with a matching
+    * fingerprint; rebuilds (the data changed) on mismatch. Skips — with
+    * a stderr note, never an error — when the order type has no numeric
+    * image, the weight does not aggregate to BIGINT (float sums are
+    * order-sensitive, so served prefixes could drift from in-plan ones),
+    * the input has no fingerprintable file leaf (nothing to witness
+    * staleness with), or the input is empty. Also lands the plain
+    * boundary table so the unserved fallback path keeps its own serving
+    * tier. */
+  def ensureOrderStats(df: DataFrame, orderCol: String,
+      weightCol: String): Unit =
+    doubleImage(df.schema(orderCol).dataType, col(orderCol)).foreach { img =>
+      val spark = df.sparkSession
+      val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (nb > 1) {
+        persistBoundaries(df, orderCol)
+        val key = (df.semanticHash(), img.toString, nb)
+        val name = ordStatsTableFor(key, weightCol)
+        SourceFingerprint.ofCovered(df) match {
+          case None =>
+            System.err.println(s"graft.TotalOrder: $name not persisted — " +
+              "input has no fingerprintable file leaf, staleness could " +
+              "not be witnessed")
+          case Some(fp) =>
+            val current =
+              try {
+                if (spark.catalog.tableExists(name))
+                  spark.table(name).select("_fp").collect()
+                    .headOption.map(_.getLong(0))
+                else None
+              } catch { case scala.util.control.NonFatal(_) => None }
+            if (!current.contains(fp)) try {
+              val probs = (1 until nb).map(i => lit(i.toDouble / nb))
+              boundariesFor(df, img, nb, probs) match {
+                case None =>
+                  System.err.println(s"graft.TotalOrder: $name not " +
+                    "persisted — empty input")
+                case Some(bnds) =>
+                  val totals = df
+                    .withColumn("_pid", bucketIdForLit(img, bnds.toIndexedSeq))
+                    .groupBy(col("_pid"))
+                    .agg(sum(col(weightCol)).as("_ptot"))
+                  if (totals.schema("_ptot").dataType != LongType)
+                    System.err.println(s"graft.TotalOrder: $name not " +
+                      s"persisted — sum($weightCol) is not BIGINT " +
+                      "(float prefix sums are order-sensitive)")
+                  else {
+                    val rows = totals.collect() // ≤ nb rows by construction
+                    val pids = rows.map(_.getInt(0))
+                    val tots = rows.map(r =>
+                      if (r.isNullAt(1)) 0L else r.getLong(1))
+                    graft.core.Warehouse.reclaimOrphan(spark, name)
+                    import spark.implicits._
+                    Seq((fp, weightCol, bnds, pids.toSeq, tots.toSeq))
+                      .toDF("_fp", "_wt", "_bnds", "_pids", "_ptots")
+                      .write.mode("overwrite").saveAsTable(name)
+                  }
+              }
+            } catch {
+              // same degradation contract as persistBoundaries: a session
+              // without warehouse write access must not fail the query
+              case scala.util.control.NonFatal(e) =>
+                System.err.println("graft.TotalOrder: order-stats persist " +
+                  s"$name failed (consumers fall back in-plan): $e")
+            }
+        }
+      }
+    }
+
+  /** The fingerprint-checked stats for (df, img, nb, weightCol):
+    * `Some((boundaries, bucket→total))` only when the persisted
+    * fingerprint matches the input's CURRENT files — otherwise None
+    * (with a stderr note on a witnessed mismatch, the caller computes
+    * in-plan). */
+  private def servedOrderStats(df: DataFrame, img: Column, nb: Int,
+      weightCol: String): Option[(IndexedSeq[Double], Map[Int, Long])] = {
+    val spark = df.sparkSession
+    val key = (df.semanticHash(), img.toString, nb)
+    val name = ordStatsTableFor(key, weightCol)
+    try {
+      if (!spark.catalog.tableExists(name)) None
+      else spark.table(name).collect().headOption.flatMap { row =>
+        val fp = SourceFingerprint.ofCovered(df)
+        if (!fp.contains(row.getLong(0)) || row.getString(1) != weightCol) {
+          System.err.println(s"graft.TotalOrder: $name is stale " +
+            "(fingerprint mismatch — data changed since the stats were " +
+            "landed); computing totals in-plan")
+          None
+        } else {
+          val bnds = row.getSeq[Double](2).toIndexedSeq
+          val pids = row.getSeq[Int](3)
+          val tots = row.getSeq[Long](4)
+          Some((bnds, pids.zip(tots).toMap))
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft.TotalOrder: order-stats table $name unreadable: $e")
+        None
+    }
+  }
+
   /** Bucket id of `img` against the broadcast `_bnds` array: count of
     * boundaries strictly below the value, as a static binary-search
     * when-tree (log2(nb) codegen'd comparisons per row — an `aggregate`
@@ -275,6 +407,23 @@ object TotalOrder {
       else {
         val mid = (lo + hi) / 2
         when(img > element_at(col("_bnds"), mid + 1), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    search(0, nb - 1)
+  }
+
+  /** [[bucketIdFor]] against a driver-resident boundary array (the
+    * served-stats path): the same duplicate-safe upper-bound when-tree
+    * with the boundary VALUES folded in as literals — no `_bnds` column,
+    * no broadcast, pure codegen'd comparisons. Identical bucket function
+    * by construction (same search over the same sorted values). */
+  private def bucketIdForLit(img: Column, bnds: IndexedSeq[Double]): Column = {
+    val nb = bnds.length + 1
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(img > lit(bnds(mid)), search(mid + 1, hi))
           .otherwise(search(lo, mid))
       }
     search(0, nb - 1)
@@ -477,14 +626,53 @@ object TotalOrder {
     val upper = if (inclusive) 0L else -1L
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, upper)
-    val withOffsets = withPrefixOffsets(df, orderCol, col(valueCol))
-    val pruned = upperBound match {
-      case Some(b) => withOffsets.filter(col("_prefix") <= b)
-      case None    => withOffsets
+    // served-stats fast path (bounded cut over an ordered-numeric key
+    // with valid [[ensureOrderStats]] state): prune the SCAN to the
+    // buckets whose served prefix can still land under the bound, attach
+    // bucket ids and prefix offsets as literals, window the survivors.
+    // Output-identical to the in-plan path: the served totals carry the
+    // same bucket function over the same boundary draw, and the
+    // fingerprint check guarantees they were aggregated from exactly the
+    // bytes this plan will scan.
+    val served = upperBound.flatMap { b =>
+      doubleImage(df.schema(orderCol).dataType, col(orderCol)).flatMap { img =>
+        val nb = df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        if (nb <= 1) None
+        else servedOrderStats(df, img, nb, valueCol).map {
+          case (bnds, totals) =>
+            val prefixes = (0 until nb).scanLeft(0L) {
+              (acc, pid) => acc + totals.getOrElse(pid, 0L)
+            }.take(nb)
+            // kept: every bucket whose PREFIX is within the bound (its
+            // first row may still land under it) — same predicate the
+            // in-plan path applies post-aggregation
+            val lastKept = prefixes.lastIndexWhere(_ <= b)
+            val prunedDf =
+              if (lastKept >= nb - 1) df // all buckets survive
+              else if (lastKept < 0) df.filter(lit(false)) // b < 0: none
+              else df.filter(col(orderCol).isNull ||
+                img <= lit(bnds(lastKept))) // nulls bucket to 0, always kept
+            prunedDf
+              .withColumn("_pid", bucketIdForLit(img, bnds))
+              .withColumn("_prefix",
+                element_at(typedLit(prefixes), col("_pid") + 1))
+              .withColumn(out,
+                col("_prefix") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
+              .drop("_pid", "_prefix")
+        }
+      }
     }
-    pruned
-      .withColumn(out,
-        col("_prefix") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
-      .drop("_pid", "_prefix")
+    served.getOrElse {
+      val withOffsets = withPrefixOffsets(df, orderCol, col(valueCol))
+      val pruned = upperBound match {
+        case Some(b) => withOffsets.filter(col("_prefix") <= b)
+        case None    => withOffsets
+      }
+      pruned
+        .withColumn(out,
+          col("_prefix") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
+        .drop("_pid", "_prefix")
+    }
   }
 }

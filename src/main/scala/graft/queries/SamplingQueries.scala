@@ -106,11 +106,14 @@ object SamplingQueries {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
-      // land the order boundaries as versioned catalog state once (the
-      // ingest-time step of a production sharding flow); cold runs then
-      // read nb-1 doubles instead of re-sketching the corpus — the
-      // sketch scan was a SECOND full pass on top of the cum-sum's own
-      graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
+      // land the order STATS (boundaries + per-bucket token totals,
+      // fingerprinted on the corpus files) as catalog state once — the
+      // ingest-time step of a production sharding flow. Cold runs then
+      // prune the SCAN to the buckets that can land under the budget and
+      // add prefix offsets as literals: no re-tokenize of the corpus, no
+      // totals aggregation, one window exchange over ~1 bucket. A data
+      // rewrite flips the fingerprint and the cut falls back in-plan.
+      graft.operators.TotalOrder.ensureOrderStats(base, "doc_id", "n_toks")
       Sampling.tokenBudget(base, "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "cum_tokens")
         .orderBy("doc_id")
@@ -138,9 +141,12 @@ object SamplingQueries {
         TextOps.tokens(col("text")), TextOps.demoSubwordVocab)
       val base = t(s, dir, "documents")
         .select(col("doc_id"), nSub.as("n_toks"))
-      // land the order boundaries as versioned catalog state once —
-      // same ingest-time step as the whitespace budget gate
-      graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
+      // land the order stats once — same ingest-time step as the
+      // whitespace budget gate (the per-bucket totals here are SUBWORD
+      // totals: the stats key carries the weight column, and the base
+      // plan's semantic hash differs, so the two gates' stats tables
+      // never collide)
+      graft.operators.TotalOrder.ensureOrderStats(base, "doc_id", "n_toks")
       Sampling.tokenBudget(base, "doc_id", "n_toks", budget = 12000L)
         .select("doc_id", "cum_tokens")
         .orderBy("doc_id")

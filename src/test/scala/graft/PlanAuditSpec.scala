@@ -444,11 +444,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("TotalOrder: range partition + per-pid window, offsets broadcast") {
-    // the two-pass form's physical shape: one range exchange on the order
-    // key (global order across partitions), the intra-partition window
-    // hash-partitioned on _pid, and the prefix offsets joined by a
-    // broadcast — never a single-partition WindowExec
-    val plan = physicalPlan("smp_token_budget")
+    // the two-pass form's physical shape (the UNSERVED path —
+    // smp_token_shards has no budget bound, so it never reads order
+    // stats): one range exchange on the order key (global order across
+    // partitions), the intra-partition window hash-partitioned on _pid,
+    // and the prefix offsets joined by a broadcast — never a
+    // single-partition WindowExec
+    val plan = physicalPlan("smp_token_shards")
     assert(plan.contains("rangepartitioning(doc_id"),
       "order key must be range-partitioned:\n" + plan.take(3000))
     assert(plan.contains("hashpartitioning(_pid"),
@@ -461,6 +463,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
         || plan.contains("table cache"),
       "both TotalOrder branches must read one shared exchange:\n" + plan.take(3000))
+  }
+
+  test("token budget gates: served stats collapse the plan to one window pass") {
+    // with order stats landed (the gate body's ensureOrderStats call —
+    // fingerprint-checked against the corpus files), the bounded cut
+    // must carry NO aggregate, NO join, and NO exchange other than the
+    // window's own _pid hash and the presentation sort: bucket ids and
+    // prefix offsets ride as literals, and the scan itself is pruned by
+    // a literal boundary predicate (buckets past the budget never
+    // tokenize). A regression to the totals-recompute shape — a second
+    // corpus pass per cut — flags here.
+    for (gate <- Seq("smp_token_budget", "smp_token_budget_subword")) {
+      val q = SparkEntry.allQueries.find(_.name == gate).get
+      val df = q.run(spark, dir)
+      df.collect()
+      val physical = df.queryExecution.executedPlan.toString
+      val logical = df.queryExecution.optimizedPlan
+      assert(logical.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, s"$gate: served plan must not aggregate:\n" +
+        physical.take(3000))
+      assert(logical.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, s"$gate: served plan must not join:\n" +
+        physical.take(3000))
+      assert(physical.contains("hashpartitioning(_pid"),
+        s"$gate: window must shuffle on the partition id:\n" +
+          physical.take(3000))
+    }
   }
 
   test("dedup_incremental: cross-side candidates from equi-joins only") {

@@ -51,11 +51,15 @@ class WarehouseSpec extends SparkSpec {
 
   test("TotalOrder.persistBoundaries survives an orphaned boundary location") {
     val df = (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
-    // first persist to learn the table name, drop the table but keep a
-    // fresh orphan dir, then persist again from a cleared memo
+    // first persist to learn the table name (by before/after diff —
+    // other suites in the shared session land their own boundary
+    // tables), drop the table but keep a fresh orphan dir, then persist
+    // again from a cleared memo
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
     graft.operators.TotalOrder.persistBoundaries(df, "k")
     val name = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_boundaries_")).head
+      .map(_.name).filter(_.startsWith("graft_boundaries_"))
+      .filterNot(before).head
     spark.sql(s"DROP TABLE $name")
     orphanDir(name)
     graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
