@@ -726,6 +726,66 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
 
+  /** Arbitrary-length exact-substring dedup — the full suffix-array
+    * operator semantics (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") at token granularity, built from
+    * [[tokenWindows]] seeds by diagonal run growth: every MAXIMAL token
+    * span of length >= n shared verbatim between two distinct documents,
+    * as (id1 < id2, pos1, pos2, len_tokens). Where [[dupSpans]] reports
+    * the fixed-length n-window vocabulary, this reports the true
+    * duplicated substrings at their full length: two docs sharing a
+    * 90-token boilerplate block yield ONE row with len_tokens = 90, not
+    * 83 anonymous 8-grams.
+    *
+    * Construction: a shared substring of length L >= n between doc a at
+    * pa and doc b at pb is exactly a run of L−n+1 consecutive matching
+    * n-windows along the diagonal pb−pa, so (1) self-join the positional
+    * windows on span text (cross-doc pairs only), (2) group occurrence
+    * pairs by (id1, id2, diagonal = pos2−pos1), (3) coalesce consecutive
+    * pos1 into islands (pos1 − row_number is constant within a run).
+    * MAXIMALITY is structural: if the match extended one token left or
+    * right, the adjacent window would also match on the same diagonal
+    * and the island would have included it.
+    *
+    * Scale shape: one span-keyed shuffle (the self-join — both sides
+    * read ONE materialization of the window frame), one shuffle on
+    * (id1, id2, diag) for the island window, whose grouping the run
+    * aggregation reuses (no further exchange). Like LSH candidate
+    * generation the join is output-bound: a span occurring in k
+    * documents contributes O(k²) occurrence pairs, so corpora with
+    * mega-duplicated boilerplate should either pre-pass
+    * [[segmentDedup]] or set `maxOccurrences` — spans above the cap are
+    * dropped from seeding (Lee et al.'s own frequency cut), bounding any
+    * single span's contribution to maxOccurrences² pairs. */
+  def dupSpanRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxOccurrences: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = CacheOnce(tokenWindows(df, idCol, textCol, n))
+    val seeds = maxOccurrences match {
+      case Some(m) => wins.join(
+        wins.groupBy("span").agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") <= m).select("span"),
+        Seq("span"))
+      case None => wins
+    }
+    val pairs = seeds.as("a")
+      .join(seeds.as("b"),
+        col("a.span") === col("b.span")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.pos").as("pos1"), col("b.pos").as("pos2"))
+    val byDiag = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("pos1"))
+    pairs
+      .withColumn("diag", col("pos2") - col("pos1"))
+      .withColumn("grp", col("pos1") - row_number().over(byDiag))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("grp"))
+      .agg(min(col("pos1")).as("pos1"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("len_tokens"))
+      .select(col("id1"), col("id2"), col("pos1"),
+        (col("pos1") + col("diag")).as("pos2"), col("len_tokens"))
+  }
+
   /** Per-document duplicated-span coverage: the fraction of each doc's
     * token positions covered by at least one n-token span shared with
     * ANOTHER document — the per-doc filter metric derived from

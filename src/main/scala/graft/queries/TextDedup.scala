@@ -1223,6 +1223,60 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- Arbitrary-length exact-substring dedup (the full Lee et al.
+    // suffix-array semantics dedup_dup_spans approximates at fixed
+    // width): every MAXIMAL token span of length >= 8 shared verbatim
+    // between two docs, grown from 8-window seeds by diagonal run
+    // coalescing. The oracle replays the growth itself (same self-join,
+    // same islands-and-gaps over the diagonal) and the md5 over the
+    // RECONSTRUCTED span text certifies the content of every reported
+    // substring, not just its coordinates. Output-bound like LSH
+    // candidate generation (span-keyed self-join); runs scale linearly
+    // on this corpus family (25 / 256 / 2560 at sf0.01 / sf0.1 / x10).
+    GQuery(
+      "dedup_dup_spans_maxlen",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM d) x),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.pos AS pos1, b.pos AS pos2, b.pos - a.pos AS diag
+        |  FROM w a JOIN w b USING (span)
+        |  WHERE a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT id1, id2, diag, pos1,
+        |    pos1 - row_number() OVER (PARTITION BY id1, id2, diag
+        |      ORDER BY pos1) AS grp
+        |  FROM p),
+        |agg AS (
+        |  SELECT id1, id2, diag, min(pos1) AS pos1, count(*) + 7 AS len
+        |  FROM r GROUP BY id1, id2, diag, grp)
+        |SELECT a.id1, a.id2, CAST(a.pos1 AS BIGINT) AS pos1,
+        |  CAST(a.pos1 + a.diag AS BIGINT) AS pos2,
+        |  CAST(a.len AS BIGINT) AS len_tokens,
+        |  md5(array_to_string(d.t[a.pos1:a.pos1 + a.len - 1], ' '))
+        |    AS span_md5
+        |FROM agg a JOIN d ON d.doc_id = a.id1
+        |ORDER BY id1, id2, pos1, pos2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id").as("id1"),
+        TextOps.tokens(col("text")).as("t"))
+      Dedup.dupSpanRuns(docs, "doc_id", "text", 8)
+        .join(toks, Seq("id1"))
+        .select(col("id1"), col("id2"),
+          col("pos1").cast("long").as("pos1"),
+          col("pos2").cast("long").as("pos2"),
+          col("len_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("pos1"),
+            col("len_tokens").cast("int")))).as("span_md5"))
+        .orderBy("id1", "id2", "pos1", "pos2")
+    },
+
     // ---- Portable Bloom membership prefilter: the corpus (doc_id % 5
     // <> 0) is sketched into an m-bit bitmap, every doc probes it. The
     // oracle replays the sketch in its equivalent set form — "bit set"

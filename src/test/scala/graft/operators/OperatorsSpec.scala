@@ -987,6 +987,70 @@ class OperatorsSpec extends SparkSpec {
     assert(cov(4L) === ((0L, 0.0)))
   }
 
+  test("dup span runs: maximal, cross-doc, complete vs the diagonal-walk model") {
+    import spark.implicits._
+    // independent model: walk every diagonal of every doc pair and emit
+    // maximal equal runs of length >= n — the definition, not the
+    // seed-and-coalesce construction the operator uses
+    def model(docs: Map[Long, Vector[String]], n: Int)
+        : Set[(Long, Long, Int, Int, Long)] = {
+      val out = scala.collection.mutable.Set
+        .empty[(Long, Long, Int, Int, Long)]
+      for ((a, ta) <- docs; (b, tb) <- docs if a < b) {
+        for (d <- -(tb.length - 1) to (ta.length - 1)) {
+          // diagonal: positions (i, i - d) valid in (ta, tb), 0-based
+          val i0 = math.max(0, d)
+          val i1 = math.min(ta.length - 1, tb.length - 1 + d)
+          var i = i0
+          while (i <= i1) {
+            if (ta(i) == tb(i - d)) {
+              var j = i
+              while (j + 1 <= i1 && ta(j + 1) == tb(j + 1 - d)) j += 1
+              val len = j - i + 1
+              if (len >= n)
+                out += ((a, b, i + 1, i - d + 1, len.toLong)) // 1-based
+              i = j + 1
+            } else i = i + 1
+          }
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(42L)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 0 until 20) {
+      val docs = (1L to 6L).map { id =>
+        id -> Vector.fill(rnd.nextInt(28) + 3)(vocab(rnd.nextInt(4)))
+      }.toMap
+      val n = 3
+      val got = Dedup.dupSpanRuns(
+          docs.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getLong(4))).toSet
+      assert(got === model(docs, n), s"trial $trial: docs=$docs")
+    }
+    // the explicit shape: a 10-token block shared between two docs with
+    // n=8 is ONE maximal run of length 10 at its true coordinates — not
+    // three anonymous 8-windows; a doc's internal self-repeat never pairs
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val runs = Dedup.dupSpanRuns(Seq(
+        (1L, s"a1 a2 $shared a13"),
+        (2L, s"$shared b11"),
+        (3L, "c1 c2 c3 c4 c5 c6 c7 c8 x c1 c2 c3 c4 c5 c6 c7 c8"))
+        .toDF("doc_id", "text"), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(runs.toSeq === Seq((1L, 2L, 3, 1, 10L)))
+    // maxOccurrences drops over-frequent seed spans from pairing
+    val hot = (1L to 5L).map(id => (id, s"h1 h2 h3 h4 tail$id")).toDF("doc_id", "text")
+    assert(Dedup.dupSpanRuns(hot, "doc_id", "text", 4).count() === 10L)
+    assert(Dedup.dupSpanRuns(hot, "doc_id", "text", 4,
+      maxOccurrences = Some(3)).count() === 0L)
+  }
+
   test("chunk: coverage, overlap, and bounds on the real corpus") {
     val w = 32; val s = 24
     val chunks = TextOps.chunk(docs, "doc_id", "text", w, s)
