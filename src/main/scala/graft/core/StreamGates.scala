@@ -20,8 +20,10 @@ package graft.core
   * Folding the version into the name makes that impossible: a semantics
   * change bumps `semVer`, the new name misses, and the gate takes its
   * deterministic cold path (re-seed / rebuild + re-trigger). Old-version
-  * tables become inert warehouse residents, reclaimed lazily by
-  * [[Warehouse.reclaimOrphan]] when a name is reused.
+  * state — catalog tables, their orphaned directories, raw ParquetStore
+  * roots — is swept by [[reclaimSiblings]] on that same cold path
+  * (versioned names are never reused, so [[Warehouse.reclaimOrphan]]'s
+  * name-reuse trigger alone would leak every retired version forever).
   *
   * CONTRACT for gate authors: bump the gate's `semVer` whenever its
   * batch slices, replay schedule, thresholds, sketch parameters, or the
@@ -35,10 +37,53 @@ object StreamGates {
   /** `<prefix><crc32(dataDir)>_<semVer>` — the base name for one gate's
     * state at one data directory under one semantics version. Ledgers
     * append `_dlv` to this. */
-  def table(prefix: String, dataDir: String, semVer: String): String = {
+  def table(prefix: String, dataDir: String, semVer: String): String =
+    f"$prefix${dirCrc(dataDir)}%08x_$semVer"
+
+  private def dirCrc(dataDir: String): Long = {
     val crc = new java.util.zip.CRC32()
     crc.update(dataDir.getBytes("UTF-8"))
-    f"$prefix${crc.getValue}%08x_$semVer"
+    crc.getValue
+  }
+
+  /** Reclaim every OTHER-version sibling of this gate's state at this
+    * data directory: warehouse residents named `<prefix><crc>…` that are
+    * not the current `_<semVer>` family — prior/later versions with
+    * their `_dlv` ledgers, and the retired pre-versioning names (bare
+    * `<prefix><crc>` / `<prefix><crc>_dlv`). Catalog entries are dropped
+    * when present and the managed directory is deleted either way (the
+    * in-memory catalog forgets tables at JVM exit but their directories
+    * survive, and raw ParquetStore roots were never catalog tables at
+    * all). Versioned names are never REUSED, so
+    * [[Warehouse.reclaimOrphan]]'s name-reuse trigger can never fire for
+    * a retired version — without this sweep every semVer bump leaks the
+    * old version's disk forever. Gates call it on their COLD path (the
+    * rebuild that a bump forces), so warm runs pay nothing.
+    * Best-effort like reclaimOrphan: a failed delete only leaves the
+    * leak it was reclaiming. */
+  def reclaimSiblings(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, dataDir: String, semVer: String): Unit = {
+    val stem = f"$prefix${dirCrc(dataDir)}%08x"
+    val current = s"${stem}_$semVer"
+    try {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(stem) && n != current &&
+            !n.startsWith(current + "_")) {
+          if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
+          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+          System.err.println(
+            s"graft.StreamGates: reclaimed retired state $n")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft.StreamGates: reclaimSiblings($stem) failed: $e")
+    }
   }
 
   /** The at-least-once delivery recorder every stream gate's cold run

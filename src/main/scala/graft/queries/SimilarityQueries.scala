@@ -191,6 +191,9 @@ object SimilarityQueries {
       if (!s.catalog.tableExists(ledger)
           || !store.exists("idx_centroids") || !store.exists("idx_cells")) {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
+        // the versioned ParquetStore root (gais_<crc>_sN/) is not a
+        // catalog table — a semVer bump leaks it without this sweep
+        graft.core.StreamGates.reclaimSiblings(s, "gais_", dir, "s1")
         // deterministic BY RESET: the grown cells layout is the stream's
         // output, so rebuild the corpus-only index before the triggers
         IvfIndex.buildPortable(slice(0, 300), store, "idx", numCentroids = 16)

@@ -355,9 +355,12 @@ object TextDedup {
       // semantics-versioned state name (StreamGates contract): bump the
       // semVer if the seed/batch slices or sketch params change
       val table = graft.core.StreamGates.table("graft_cms_stream_", dir, "s1")
-      if (!s.catalog.tableExists(table))
+      if (!s.catalog.tableExists(table)) {
+        // cold path: sweep retired-version state for this prefix+dir
+        graft.core.StreamGates.reclaimSiblings(s, "graft_cms_stream_", dir, "s1")
         CmsStream.seed(docs.filter(col("doc_id") < 100), "text", table,
           depth, width)
+      }
       def slice(lo: Int, hi: Int) =
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
       CmsStream.trigger(slice(100, 200), 0L, "text", table, depth, width)
@@ -429,6 +432,8 @@ object TextDedup {
         // a previous JVM's managed dirs may outlive their catalog entries
         graft.core.Warehouse.reclaimOrphan(s, table)
         graft.core.Warehouse.reclaimOrphan(s, ledger)
+        // and retired-version siblings never get a name reuse at all
+        graft.core.StreamGates.reclaimSiblings(s, "graft_bloom_stream_", dir, "s1")
         BloomStream.seed(slice(0, 100), "doc_id", table)
         val state = BloomStream.recover(s, table, "doc_id", mBits, k)
         val dlv = new graft.core.StreamGates.DeliveryLedger
@@ -573,6 +578,7 @@ object TextDedup {
       if (!s.catalog.tableExists(ledger)
           || !s.catalog.tableExists(s"${idx}_toks")) {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
+        graft.core.StreamGates.reclaimSiblings(s, "gbsr_", dir, "s1")
         graft.operators.BandIndex.build(slice(0, 300), "doc_id", "text",
           numHashes = 64, bands = 16, buckets = 8, idx)
         val dlv = new graft.core.StreamGates.DeliveryLedger

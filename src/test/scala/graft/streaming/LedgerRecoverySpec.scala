@@ -74,4 +74,40 @@ class LedgerRecoverySpec extends SparkSpec {
     assert(recovered === first,
       "post-crash re-run must reset the IVF index and re-derive the same run")
   }
+
+  test("the cold path sweeps retired-version state: tables, orphan dirs, raw store roots") {
+    // versioned names are never reused, so Warehouse.reclaimOrphan's
+    // name-reuse trigger can't fire for a retired semVer — the cold
+    // path's reclaimSiblings sweep is what keeps the warehouse honest
+    // across bumps. Plant all three retirement shapes for the gais
+    // prefix: a previous-version raw ParquetStore root (never a catalog
+    // table), a previous-version ledger CATALOG table, and a
+    // pre-versioning bare-name ledger. A bump-forced cold run must
+    // remove all three and leave the current-version state live.
+    import spark.implicits._
+    val stem = graft.core.StreamGates.table("gais_", dir, "x")
+      .stripSuffix("_x")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val s0root = new java.io.File(wh, s"${stem}_s0")
+    new java.io.File(s0root, "idx_cells").mkdirs()
+    val s0Ledger = s"${stem}_s0_dlv"
+    Seq((0L, 9L)).toDF("vec_id", "n")
+      .write.mode("overwrite").saveAsTable(s0Ledger)
+    val legacyLedger = s"${stem}_dlv"
+    Seq((0L, 9L)).toDF("vec_id", "n")
+      .write.mode("overwrite").saveAsTable(legacyLedger)
+
+    val first = run("stream_ann_append_replay") // current state live
+    spark.sql(s"DROP TABLE IF EXISTS ${ledgerFor("gais_")}") // force cold
+    val recovered = run("stream_ann_append_replay")
+    assert(recovered === first)
+    assert(!s0root.exists, "retired raw store root must be deleted")
+    assert(!spark.catalog.tableExists(s0Ledger),
+      "retired-version ledger table must be dropped")
+    assert(!spark.catalog.tableExists(legacyLedger),
+      "pre-versioning bare-name ledger must be dropped")
+    assert(spark.catalog.tableExists(ledgerFor("gais_")),
+      "current-version state must survive the sweep")
+  }
 }
