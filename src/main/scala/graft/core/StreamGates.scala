@@ -65,24 +65,38 @@ object StreamGates {
       prefix: String, dataDir: String, semVer: String): Unit = {
     val stem = f"$prefix${dirCrc(dataDir)}%08x"
     val current = s"${stem}_$semVer"
-    try {
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(stem) && n != current &&
-            !n.startsWith(current + "_")) {
-          if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
-          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+    val siblings =
+      try {
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(wh)) Seq.empty
+        else fs.listStatus(wh).toSeq.map(st => (fs, st.getPath))
+          .filter { case (_, p) =>
+            val n = p.getName
+            n.startsWith(stem) && n != current &&
+              !n.startsWith(current + "_")
+          }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
-            s"graft.StreamGates: reclaimed retired state $n")
-        }
+            s"graft.StreamGates: reclaimSiblings($stem) listing failed: $e")
+          Seq.empty
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"graft.StreamGates: reclaimSiblings($stem) failed: $e")
+    // per-sibling isolation: one failed drop must only leave ITS leak,
+    // never abort the rest of the sweep (the cold path is rare, so a
+    // skipped sibling would otherwise linger indefinitely)
+    siblings.foreach { case (fs, p) =>
+      val n = p.getName
+      try {
+        if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
+        if (fs.exists(p)) fs.delete(p, true)
+        System.err.println(s"graft.StreamGates: reclaimed retired state $n")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft.StreamGates: reclaimSiblings($stem) failed on $n: $e")
+      }
     }
   }
 

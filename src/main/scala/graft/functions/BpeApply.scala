@@ -72,19 +72,21 @@ case class BpeApply(left: Expression, right: Expression)
   override def prettyName: String = "graft_bpe_apply"
 
   // "x y" entries in rank order → (x, y, xy) piece triples plus a
-  // first-rank-wins adjacency→rank lookup (keyed by the entry string
-  // itself — sound because pieces are whitespace-free by construction:
-  // tokens are guarded below and merge pieces are guarded here),
-  // materialized once per expression instance
+  // first-rank-wins adjacency→rank lookup, two-level (left piece → right
+  // piece → rank) so the hot loop probes with the piece strings
+  // themselves — zero per-probe key allocation for a lookup that runs
+  // O(pieces) per pass per word over the whole corpus. Materialized once
+  // per expression instance.
   @transient private lazy val (lefts, rights, joined, rankOf)
       : (Array[String], Array[String], Array[String],
-         java.util.HashMap[String, Integer]) = {
+         java.util.HashMap[String, java.util.HashMap[String, Integer]]) = {
     val m = right.eval().asInstanceOf[ArrayData]
     val n = m.numElements()
     val xs = new Array[String](n)
     val ys = new Array[String](n)
     val xy = new Array[String](n)
-    val rk = new java.util.HashMap[String, Integer](n * 2)
+    val rk =
+      new java.util.HashMap[String, java.util.HashMap[String, Integer]](n * 2)
     var i = 0
     while (i < n) {
       val e = m.getUTF8String(i)
@@ -98,13 +100,14 @@ case class BpeApply(left: Expression, right: Expression)
           s"(the boundary-encoding character), got '$entry'")
       val x = entry.substring(0, sp)
       val y = entry.substring(sp + 1)
-      require(y.indexOf(' ') < 0 && !x.exists(Character.isWhitespace) &&
+      require(!x.exists(Character.isWhitespace) &&
           !y.exists(Character.isWhitespace),
         s"$prettyName merge pieces must not contain whitespace, got '$entry'")
       xs(i) = x
       ys(i) = y
       xy(i) = x + y
-      rk.putIfAbsent(entry, Integer.valueOf(i))
+      rk.computeIfAbsent(x, _ => new java.util.HashMap[String, Integer](4))
+        .putIfAbsent(y, Integer.valueOf(i))
       i += 1
     }
     (xs, ys, xy, rk)
@@ -148,8 +151,11 @@ case class BpeApply(left: Expression, right: Expression)
           var best = Int.MaxValue
           var j = 0
           while (j < len - 1) {
-            val r = rankOf.get(ps(j) + " " + ps(j + 1))
-            if (r != null && r.intValue() < best) best = r.intValue()
+            val byRight = rankOf.get(ps(j))
+            if (byRight != null) {
+              val r = byRight.get(ps(j + 1))
+              if (r != null && r.intValue() < best) best = r.intValue()
+            }
             j += 1
           }
           if (best == Int.MaxValue) done = true

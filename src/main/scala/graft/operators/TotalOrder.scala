@@ -116,11 +116,16 @@ object TotalOrder {
     * Bench calls it per measured query so timed TotalOrder consumers pay
     * the sketch scan their oracle SQL implies rather than an
     * amortized-probe number. */
-  def invalidateBoundaryMemo(spark: org.apache.spark.sql.SparkSession): Unit =
+  def invalidateBoundaryMemo(spark: org.apache.spark.sql.SparkSession): Unit = {
     boundaryCache.synchronized {
       val m = boundaryCache.get(spark)
       if (m != null) m.clear()
     }
+    statsCache.synchronized {
+      val m = statsCache.get(spark)
+      if (m != null) m.clear()
+    }
+  }
 
   /** Catalog table holding one persisted boundary array for `key`.
     * Boundary VALUES are correctness-neutral (any sorted array merely
@@ -283,6 +288,36 @@ object TotalOrder {
     f"graft_ordstats_${crc.getValue}%08x"
   }
 
+  /** Session memo over the one-row stats tables, keyed by table name and
+    * holding (fingerprint, boundaries, totals). Unlike the boundary memo
+    * this one is fingerprint-GUARDED at every probe: the caller
+    * recomputes the input's current file fingerprint (a free driver-side
+    * fold over already-listed metadata) and a mismatched entry is
+    * ignored, so a data rewrite can never serve stale totals from the
+    * memo any more than from the table. It exists because a warm serve
+    * otherwise pays a driver collect JOB per gate execution for a row
+    * that cannot have changed while the fingerprint holds — the same
+    * extra-job class boundariesFrame's doc signs. Cleared by
+    * [[invalidateBoundaryMemo]] (one lifecycle: Bench resets both so
+    * timed queries pay the cold read their production cold path
+    * implies). */
+  private val statsCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[
+        String, (Long, IndexedSeq[Double], Map[Int, Long])]]()
+
+  private def statsMemo(spark: org.apache.spark.sql.SparkSession) =
+    statsCache.synchronized {
+      val existing = statsCache.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap
+          .empty[String, (Long, IndexedSeq[Double], Map[Int, Long])]
+        statsCache.put(spark, m)
+        m
+      }
+    }
+
   /** Persist boundaries AND per-bucket totals of `weightCol` over
     * `orderCol` order for `df`, fingerprinted on the input's files.
     * Idempotent: a no-op when the table exists with a matching
@@ -309,14 +344,10 @@ object TotalOrder {
               "input has no fingerprintable file leaf, staleness could " +
               "not be witnessed")
           case Some(fp) =>
-            val current =
-              try {
-                if (spark.catalog.tableExists(name))
-                  spark.table(name).select("_fp").collect()
-                    .headOption.map(_.getLong(0))
-                else None
-              } catch { case scala.util.control.NonFatal(_) => None }
-            if (!current.contains(fp)) try {
+            // validity probe IS the serve-path read (memoized), so a
+            // warm ensure+serve pair costs one collect cold, zero warm
+            val current = servedOrderStats(df, img, nb, weightCol)
+            if (current.isEmpty) try {
               val probs = (1 until nb).map(i => lit(i.toDouble / nb))
               boundariesFor(df, img, nb, probs) match {
                 case None =>
@@ -341,6 +372,8 @@ object TotalOrder {
                     Seq((fp, weightCol, bnds, pids.toSeq, tots.toSeq))
                       .toDF("_fp", "_wt", "_bnds", "_pids", "_ptots")
                       .write.mode("overwrite").saveAsTable(name)
+                    statsMemo(spark).put(name,
+                      (fp, bnds.toIndexedSeq, pids.zip(tots).toMap))
                   }
               }
             } catch {
@@ -358,33 +391,41 @@ object TotalOrder {
     * `Some((boundaries, bucket→total))` only when the persisted
     * fingerprint matches the input's CURRENT files — otherwise None
     * (with a stderr note on a witnessed mismatch, the caller computes
-    * in-plan). */
+    * in-plan). Served from the [[statsCache]] memo when its entry's
+    * fingerprint matches the current files, else from the table (and
+    * memoized). */
   private def servedOrderStats(df: DataFrame, img: Column, nb: Int,
       weightCol: String): Option[(IndexedSeq[Double], Map[Int, Long])] = {
     val spark = df.sparkSession
     val key = (df.semanticHash(), img.toString, nb)
     val name = ordStatsTableFor(key, weightCol)
-    try {
-      if (!spark.catalog.tableExists(name)) None
-      else spark.table(name).collect().headOption.flatMap { row =>
-        val fp = SourceFingerprint.ofCovered(df)
-        if (!fp.contains(row.getLong(0)) || row.getString(1) != weightCol) {
-          System.err.println(s"graft.TotalOrder: $name is stale " +
-            "(fingerprint mismatch — data changed since the stats were " +
-            "landed); computing totals in-plan")
-          None
-        } else {
-          val bnds = row.getSeq[Double](2).toIndexedSeq
-          val pids = row.getSeq[Int](3)
-          val tots = row.getSeq[Long](4)
-          Some((bnds, pids.zip(tots).toMap))
-        }
+    SourceFingerprint.ofCovered(df).flatMap { fp =>
+      val memo = statsMemo(spark)
+      memo.get(name) match {
+        case Some((mfp, bnds, tots)) if mfp == fp => Some((bnds, tots))
+        case _ =>
+          try {
+            if (!spark.catalog.tableExists(name)) None
+            else spark.table(name).collect().headOption.flatMap { row =>
+              if (row.getLong(0) != fp || row.getString(1) != weightCol) {
+                System.err.println(s"graft.TotalOrder: $name is stale " +
+                  "(fingerprint mismatch — data changed since the stats " +
+                  "were landed); computing totals in-plan")
+                None
+              } else {
+                val bnds = row.getSeq[Double](2).toIndexedSeq
+                val totals = row.getSeq[Int](3).zip(row.getSeq[Long](4)).toMap
+                memo.put(name, (fp, bnds, totals))
+                Some((bnds, totals))
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"graft.TotalOrder: order-stats table $name unreadable: $e")
+              None
+          }
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"graft.TotalOrder: order-stats table $name unreadable: $e")
-        None
     }
   }
 

@@ -184,7 +184,8 @@ object SimilarityQueries {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       def slice(lo: Int, hi: Int) =
         emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-      val name = graft.core.StreamGates.table("gais_", dir, "s1")
+      val (gaisPrefix, gaisVer) = ("gais_", "s1")
+      val name = graft.core.StreamGates.table(gaisPrefix, dir, gaisVer)
       val ledger = s"${name}_dlv"
       val store = new graft.etl.ParquetStore(s,
         s.conf.get("spark.sql.warehouse.dir") + "/" + name)
@@ -193,7 +194,7 @@ object SimilarityQueries {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
         // the versioned ParquetStore root (gais_<crc>_sN/) is not a
         // catalog table — a semVer bump leaks it without this sweep
-        graft.core.StreamGates.reclaimSiblings(s, "gais_", dir, "s1")
+        graft.core.StreamGates.reclaimSiblings(s, gaisPrefix, dir, gaisVer)
         // deterministic BY RESET: the grown cells layout is the stream's
         // output, so rebuild the corpus-only index before the triggers
         IvfIndex.buildPortable(slice(0, 300), store, "idx", numCentroids = 16)

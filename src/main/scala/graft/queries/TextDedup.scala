@@ -354,10 +354,14 @@ object TextDedup {
       val docs = t(s, dir, "documents")
       // semantics-versioned state name (StreamGates contract): bump the
       // semVer if the seed/batch slices or sketch params change
-      val table = graft.core.StreamGates.table("graft_cms_stream_", dir, "s1")
+      // ONE (prefix, semVer) pair feeds both the name and the sweep — a
+      // bump that updated one literal but not the other would misdirect
+      // the sweep at the new version's own state
+      val (cmsPrefix, cmsVer) = ("graft_cms_stream_", "s1")
+      val table = graft.core.StreamGates.table(cmsPrefix, dir, cmsVer)
       if (!s.catalog.tableExists(table)) {
         // cold path: sweep retired-version state for this prefix+dir
-        graft.core.StreamGates.reclaimSiblings(s, "graft_cms_stream_", dir, "s1")
+        graft.core.StreamGates.reclaimSiblings(s, cmsPrefix, dir, cmsVer)
         CmsStream.seed(docs.filter(col("doc_id") < 100), "text", table,
           depth, width)
       }
@@ -426,14 +430,15 @@ object TextDedup {
       // semantics-versioned state/ledger names (StreamGates contract): a
       // changed batch construction bumps the semVer, so a stale ledger
       // can never be served against the new oracle (r13 verdict item)
-      val table = graft.core.StreamGates.table("graft_bloom_stream_", dir, "s1")
+      val (bloomPrefix, bloomVer) = ("graft_bloom_stream_", "s1")
+      val table = graft.core.StreamGates.table(bloomPrefix, dir, bloomVer)
       val ledger = s"${table}_dlv"
       if (!s.catalog.tableExists(table) || !s.catalog.tableExists(ledger)) {
         // a previous JVM's managed dirs may outlive their catalog entries
         graft.core.Warehouse.reclaimOrphan(s, table)
         graft.core.Warehouse.reclaimOrphan(s, ledger)
         // and retired-version siblings never get a name reuse at all
-        graft.core.StreamGates.reclaimSiblings(s, "graft_bloom_stream_", dir, "s1")
+        graft.core.StreamGates.reclaimSiblings(s, bloomPrefix, dir, bloomVer)
         BloomStream.seed(slice(0, 100), "doc_id", table)
         val state = BloomStream.recover(s, table, "doc_id", mBits, k)
         val dlv = new graft.core.StreamGates.DeliveryLedger
@@ -569,7 +574,8 @@ object TextDedup {
       def slice(lo: Int, hi: Int) =
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
       // semantics-versioned names (StreamGates contract, see bloom gate)
-      val idx = graft.core.StreamGates.table("gbsr_", dir, "s1")
+      val (gbsrPrefix, gbsrVer) = ("gbsr_", "s1")
+      val idx = graft.core.StreamGates.table(gbsrPrefix, dir, gbsrVer)
       val ledger = s"${idx}_dlv"
       // guard BOTH the ledger and the index: a surviving ledger with a
       // lost index must take the deterministic reset-and-rebuild path,
@@ -578,7 +584,7 @@ object TextDedup {
       if (!s.catalog.tableExists(ledger)
           || !s.catalog.tableExists(s"${idx}_toks")) {
         graft.core.Warehouse.reclaimOrphan(s, ledger)
-        graft.core.StreamGates.reclaimSiblings(s, "gbsr_", dir, "s1")
+        graft.core.StreamGates.reclaimSiblings(s, gbsrPrefix, dir, gbsrVer)
         graft.operators.BandIndex.build(slice(0, 300), "doc_id", "text",
           numHashes = 64, bands = 16, buckets = 8, idx)
         val dlv = new graft.core.StreamGates.DeliveryLedger
