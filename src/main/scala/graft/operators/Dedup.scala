@@ -833,6 +833,64 @@ object Dedup {
           / col("n_tokens").cast("double"), 4).as("dup_frac"))
   }
 
+  /** Exact-substring REMOVAL — the corpus-rewrite step of suffix-array
+    * dedup (Lee et al. 2022's released ExactSubstr tool cuts every
+    * occurrence of a duplicated substring; [[dupSpanCoverage]] is the
+    * measurement, this is the edit): drop every token position covered
+    * by an n-token span that also occurs in ANOTHER document, and
+    * reassemble what remains. Output per doc: total/kept token counts
+    * and the stripped text (empty string when the whole doc was
+    * duplicated boilerplate).
+    *
+    * Scale shape: identical to [[dupSpanCoverage]] up to the merged
+    * disjoint intervals (one span-keyed shuffle with map-side partials,
+    * one per-doc window — never global), then the merged intervals
+    * collapse to ONE small array per doc (collect_list over disjoint
+    * ranges; order-insensitive because the position test is an
+    * `exists`) and the rewrite itself is pure per-row higher-order
+    * column algebra against the doc's own token array — no UDF, no
+    * second corpus shuffle. The output is the corpus, so the job is
+    * scan-bound like any rewrite; only spans' metadata ever moves
+    * through an exchange. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = CacheOnce(tokenWindows(df, idCol, textCol, n))
+    val dup = wins.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span")
+    val ivals = wins.join(dup, Seq("span"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(n - 1)).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val merged = ivals
+      .withColumn("prev_max_e", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e")).cast("int"))
+      .withColumn("grp", sum(col("new_grp")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s0"), col("e0"))).as("ivs"))
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("t"))
+      .join(merged, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("ivs").isNull, col("t")).otherwise(
+        transform(
+          filter(
+            transform(col("t"), (tok, i) =>
+              struct(tok.as("tok"), (i + 1).as("p"))),
+            x => !exists(col("ivs"), iv =>
+              x("p") >= iv("s0") && x("p") <= iv("e0"))),
+          x => x("tok"))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("text_stripped"))
+  }
+
   /** SimHash over the doc's token multiset with a pluggable token hash:
     * per bit, sum +1/-1 weighted by token occurrences; bit set iff the sum
     * is positive. Computed as `bits` conditional aggregates after one

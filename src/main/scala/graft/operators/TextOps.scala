@@ -463,6 +463,100 @@ object TextOps {
       .select("doc_id", "n_words", "n_subwords", "fertility", "pieces_md5")
   }
 
+  /** BPE merge LEARNING (Sennrich et al. 2016 training loop) — the
+    * companion to [[graft.functions.BpeApply]]'s inference pass, closing
+    * the tokenizer story train → apply → count: extract the scoped word
+    * vocabulary with frequencies from ONE corpus scan, then for each of
+    * `steps` rounds (1) count adjacent piece pairs weighted by word
+    * frequency, (2) pick the most frequent pair (ties broken
+    * lexicographically on (x, y) so the learned table is deterministic
+    * across engines and partitionings), (3) merge ALL its occurrences in
+    * every word left-to-right. Returns the learned merge table:
+    * one row per round — (step, x, y, merged, pair_count).
+    *
+    * The per-word merge pass is a fold: "if the accumulator's last piece
+    * is x and the next piece is y, replace the last piece with xy, else
+    * append". This IS the reference left-to-right pass with
+    * continue-past-the-merge — after a merge the accumulator ends in xy,
+    * and xy can never equal x (it is strictly longer), so the merged
+    * piece can never seed an immediately-following merge of the same
+    * pair; a run like `a a a` under (a,a) folds to `aa a`, never `aa`+
+    * re-merge. Expressed with the `aggregate` higher-order function —
+    * column algebra, codegen'd, no UDF.
+    *
+    * Scale shape: the corpus is scanned ONCE (word explode → one
+    * vocab-keyed shuffle with map-side partial counts); every training
+    * round thereafter touches only the word-TYPE vocabulary — Sennrich's
+    * own formulation — which is orders of magnitude smaller than the
+    * corpus and independent of corpus row count. Each round is one
+    * vocab-sized aggregate (pair counts, map-side combined) plus a
+    * 1-row argmax collect (constant-bounded, the Lloyd-iteration
+    * precedent) and one per-row fold over the vocab; the vocab frame is
+    * localCheckpoint'd per round so round k's plan does not recompute
+    * rounds 1..k-1.
+    *
+    * [[bpeVocab]] is the trainer's ONE corpus-scale stage, exposed for
+    * the plan audit: scoped word explode → word-type vocab with
+    * frequencies and the single-character start pieces. It must prune
+    * the scan to `textCol` and plan a partial (map-side) count — at
+    * 100 TB that stage IS the training cost. */
+  private[graft] def bpeVocab(df: DataFrame, textCol: String,
+      wordRe: String): DataFrame = {
+    val words = filter(tokens(col(textCol)), w => w.rlike(s"^$wordRe$$"))
+    df.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("ps"))
+  }
+
+  /** See the training-loop contract above ([[bpeVocab]] then `steps`
+    * vocab-only rounds); returns the learned merge table
+    * (step, x, y, merged, pair_count). */
+  def bpeTrain(df: DataFrame, textCol: String, wordRe: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    var vocab = bpeVocab(df, textCol, wordRe).localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val best = vocab
+        .filter(size(col("ps")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => struct(element_at(col("ps"), i).as("x"),
+            element_at(col("ps"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1)
+        .collect() // exactly one row — constant-bounded by construction
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = x + y
+        learned += ((step.toLong, x, y, m, cnt))
+        val prev = vocab
+        vocab = vocab
+          .withColumn("ps", aggregate(col("ps"),
+            array().cast("array<string>"),
+            (acc, p) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(x) && p === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(p)))))
+          .localCheckpoint(true)
+        prev.unpersist()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "x", "y", "merged", "pair_count")
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf
     * variant ln(1 + (N − df + 0.5)/(df + 0.5))) of the top `topK` docs
     * for a FIXED query term set — the retrieval primitive behind

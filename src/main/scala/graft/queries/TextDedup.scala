@@ -330,6 +330,26 @@ object TextDedup {
         .orderBy("doc_id")
     },
 
+    // ---- BPE merge TRAINING (Sennrich et al. 2016) — learn the merge
+    // table from the corpus itself, completing the tokenizer story
+    // train -> apply (txt_bpe_apply) -> count (txt_bpe_corpus): 6 rounds
+    // of max-frequency pair selection over the word-TYPE vocabulary
+    // (ties lexicographic) with the reference left-to-right merge pass
+    // between rounds. The oracle replays all 6 rounds — pair counting,
+    // argmax, and the merge pass as iterated leftmost regexp_replace —
+    // so the hash certifies the exact learned table AND every
+    // intermediate vocabulary state that produced it. Corpus cost is ONE
+    // scan + one word shuffle; each round then touches only the
+    // word-type vocab (Sennrich's own formulation).
+    GQuery(
+      "txt_bpe_train",
+      bpeTrainOracle(steps = 6, maxLen = 15,
+        wordRe = "[a-z]{1,12}(~[0-9]{1,2})?")) { (s, dir) =>
+      TextOps.bpeTrain(t(s, dir, "documents"), "text",
+          wordRe = "[a-z]{1,12}(~[0-9]{1,2})?", steps = 6)
+        .orderBy("step")
+    },
+
     // ---- Streaming Count-Min, replayed: the first CORRECTNESS gate
     // over the streaming family. Seeds the persisted cells table from a
     // base corpus slice, lands two micro-batches through the EXACT
@@ -1289,6 +1309,65 @@ object TextDedup {
         .orderBy("id1", "id2", "pos1", "pos2")
     },
 
+    // ---- Exact-substring REMOVAL (the corpus-rewrite step of Lee et
+    // al. suffix-array dedup — their released ExactSubstr tool cuts
+    // every occurrence of a duplicated substring): drop each token
+    // position covered by an 8-token span shared with another doc and
+    // reassemble the remaining text. The oracle replays the same
+    // interval-merge sweep as dedup_span_coverage, then rebuilds the
+    // text with a position anti-join (merged intervals are disjoint per
+    // doc, so the join never fans out) — the hash certifies EVERY byte
+    // of the rewritten corpus, not just the counts.
+    GQuery(
+      "dedup_span_strip",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM d) x),
+        |dup AS (
+        |  SELECT span FROM w GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |iv AS (
+        |  SELECT w.doc_id, w.pos AS s, w.pos + 7 AS e
+        |  FROM w JOIN dup USING (span)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |g AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |cov AS (
+        |  SELECT doc_id, grp, min(s) AS s0, max(e) AS e0
+        |  FROM g GROUP BY doc_id, grp),
+        |pos AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM d) x),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.tok
+        |  FROM pos p LEFT JOIN cov c
+        |    ON c.doc_id = p.doc_id AND p.i BETWEEN c.s0 AND c.e0
+        |  WHERE c.s0 IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  count(k.tok) AS kept_tokens,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text_stripped
+        |FROM d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id, d.t
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.stripDupSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // ---- Portable Bloom membership prefilter: the corpus (doc_id % 5
     // <> 0) is sketched into an m-bit bitmap, every doc probes it. The
     // oracle replays the sketch in its equivalent set form — "bit set"
@@ -1872,6 +1951,68 @@ object TextDedup {
   private def bpeCorpusOracle(merges: Seq[String], maxLen: Int,
       wordRe: String): String =
     bpeOracleSql(merges, maxLen, "", wordRe, countsOnly = true)
+
+  /** Unrolled SQL replay of BPE merge TRAINING (gate txt_bpe_train):
+    * the Sennrich loop — count adjacent piece pairs weighted by
+    * word-type frequency, pick the max (ties lexicographic on (x, y)),
+    * merge all its occurrences left-to-right, repeat. Each round's
+    * merge-apply is serialized exactly like the bpeApplyOracle inference
+    * replay: iterated SINGLE-leftmost `regexp_replace` of the chosen
+    * pair's boundary pattern to fixpoint (merging (x,y) can never create
+    * a new (x,y) adjacency — xy is strictly longer than both — so
+    * leftmost iteration visits the reference pass's occurrences in
+    * order), unrolled to floor(maxLen/2) sub-steps, the maximum
+    * occurrence count of one pair in a <= maxLen-char word. Every CTE is
+    * MATERIALIZED: the chosen-pair CTEs have one consumer per sub-step
+    * and DuckDB would otherwise re-execute the whole training chain per
+    * consumer (the r13 band-stream oracle lesson). Learned pieces are
+    * always [a-z0-9~]* under the gate's word scope, so the only regex
+    * metacharacter in the built pattern is the boundary '|' itself. */
+  private[queries] def bpeTrainOracle(steps: Int, maxLen: Int,
+      wordRe: String): String = {
+    val subSteps = maxLen / 2
+    def applyCtes(k: Int): String = {
+      val chain = (1 to subSteps).map { j =>
+        val srcTable = if (j == 1) s"v${k - 1}" else s"a${k}_${j - 1}"
+        s"""a${k}_$j AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    CASE WHEN contains(s, '|' || b.x || '|' || b.y || '|')
+           |         THEN regexp_replace(s,
+           |           '\\|' || b.x || '\\|' || b.y || '\\|',
+           |           '|' || b.x || b.y || '|')
+           |         ELSE s END AS s
+           |  FROM $srcTable, b$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""$chain,
+         |v$k AS MATERIALIZED (
+         |  SELECT w, freq, s FROM a${k}_$subSteps)""".stripMargin
+    }
+    val rounds = (1 to steps).map { k =>
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT l[i] AS x, l[i + 1] AS y, sum(freq) AS cnt
+         |  FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 2)) AS i
+         |        FROM (SELECT freq, string_split(s, '|') AS l
+         |              FROM v${k - 1}) z0) z
+         |  GROUP BY l[i], l[i + 1]),
+         |b$k AS MATERIALIZED (
+         |  SELECT x, y, cnt FROM pc$k ORDER BY cnt DESC, x, y LIMIT 1),
+         |${applyCtes(k)}""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, x, y, x || y AS merged,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq,
+       |    '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents) t
+       |  WHERE regexp_matches(w, '^$wordRe$$')
+       |  GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
 
   private def bpeOracleSql(merges: Seq[String], maxLen: Int,
       scope: String, wordRe: String, countsOnly: Boolean): String = {

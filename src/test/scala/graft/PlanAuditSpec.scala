@@ -358,11 +358,29 @@ class PlanAuditSpec extends SparkSpec {
     // lang/n_chars etc. must never reach the scan: at 100 TB an unpruned
     // wide read dominates the job cost
     Seq("txt_tfidf", "txt_lm_score", "dedup_segments",
-        "txt_entropy", "txt_chunks", "pipe_rag_prep").foreach { name =>
+        "txt_entropy", "txt_chunks", "pipe_rag_prep",
+        "dedup_span_strip").foreach { name =>
       val plan = physicalPlan(name)
       assert(!plan.contains("n_chars") && !plan.contains("quality_bucket"),
         s"$name reads unneeded document columns:\n" + plan.take(2000))
     }
+  }
+
+  test("bpe training: the corpus stage prunes to text and combines map-side") {
+    // the vocab build is the trainer's only corpus-scale stage — at
+    // 100 TB it must read ONE column and pre-combine each task's word
+    // counts before the vocab-keyed exchange (word types, not word
+    // occurrences, cross the wire); every later round touches only the
+    // word-type vocabulary
+    val df = graft.operators.TextOps.bpeVocab(
+      graft.core.Tables(spark, dir, "documents"), "text",
+      "[a-z]{1,12}(~[0-9]{1,2})?")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      "vocab count must combine map-side:\n" + plan.take(3000))
+    assert(!plan.contains("n_chars") && !plan.contains("doc_id"),
+      "vocab scan must read only text:\n" + plan.take(3000))
   }
 
   test("pipe_rag_prep: first-occurrence dedup is a hash aggregate, not a window") {

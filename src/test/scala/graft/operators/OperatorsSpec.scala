@@ -987,6 +987,44 @@ class OperatorsSpec extends SparkSpec {
     assert(cov(4L) === ((0L, 0.0)))
   }
 
+  test("strip dup spans: removes exactly the covered positions and " +
+      "reassembles the remainder") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared a13 a14"),
+      (2L, s"$shared b11 b12"),
+      (3L, "c1 c2 c3 c4 x c1 c2 c3 c4"),
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      // fully-duplicated pair: strips to the empty string (ExactSubstr
+      // removes ALL copies)
+      (5L, "z1 z2 z3 z4 z5"),
+      (6L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(corpus, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((14L, 4L, "a1 a2 a13 a14")))
+    assert(got(2L) === ((12L, 2L, "b11 b12")))
+    // within-doc self-repeat is NOT cross-doc duplication: untouched
+    assert(got(3L) === ((9L, 9L, "c1 c2 c3 c4 x c1 c2 c3 c4")))
+    assert(got(4L)._2 === 12L)
+    assert(got(5L) === ((5L, 0L, "")))
+    assert(got(6L) === ((5L, 0L, "")))
+
+    // counts identity vs the coverage metric on the real corpus:
+    // kept_tokens == n_tokens - dup_tokens for every doc
+    val cov = Dedup.dupSpanCoverage(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val strip = Dedup.stripDupSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(strip.forall { case (id, kept, txt) =>
+      kept === cov(id) &&
+        (if (kept == 0L) txt.isEmpty
+         else txt.split("\\s+").length.toLong === kept)
+    })
+  }
+
   test("dup span runs: maximal, cross-doc, complete vs the diagonal-walk model") {
     import spark.implicits._
     // independent model: walk every diagonal of every doc pair and emit
