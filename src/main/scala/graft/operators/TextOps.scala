@@ -512,12 +512,21 @@ object TextOps {
 
   /** See the training-loop contract above ([[bpeVocab]] then `steps`
     * vocab-only rounds); returns the learned merge table
-    * (step, x, y, merged, pair_count). */
+    * (step, x, y, merged, pair_count).
+    *
+    * Checkpoints are LAZY: each round's vocab materializes as a side
+    * effect of that round's argmax collect (one Spark job per round
+    * instead of two — the trainer's wall cost at bench scale IS its job
+    * count, not its data). Round k−1's blocks are released only AFTER
+    * round k's collect has materialized round k's checkpoint — an
+    * earlier unpersist would silently force a full lineage recompute
+    * (or worse, chain back through every released round). */
   def bpeTrain(df: DataFrame, textCol: String, wordRe: String,
       steps: Int): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
-    var vocab = bpeVocab(df, textCol, wordRe).localCheckpoint(true)
+    var vocab = bpeVocab(df, textCol, wordRe).localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var step = 1
@@ -534,13 +543,14 @@ object TextOps {
         .orderBy(col("cnt").desc, col("x"), col("y"))
         .limit(1)
         .collect() // exactly one row — constant-bounded by construction
+      prev.foreach(_.unpersist()) // this round's vocab is materialized now
+      prev = Some(vocab)
       if (best.isEmpty) exhausted = true
       else {
         val (x, y, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         val m = x + y
         learned += ((step.toLong, x, y, m, cnt))
-        val prev = vocab
         vocab = vocab
           .withColumn("ps", aggregate(col("ps"),
             array().cast("array<string>"),
@@ -548,11 +558,12 @@ object TextOps {
               size(acc) > 0 && element_at(acc, -1) === lit(x) && p === lit(y),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
               .otherwise(concat(acc, array(p)))))
-          .localCheckpoint(true)
-        prev.unpersist()
+          .localCheckpoint(false)
         step += 1
       }
     }
+    prev.foreach(_.unpersist())
+    vocab.unpersist()
     import spark.implicits._
     learned.toSeq.toDF("step", "x", "y", "merged", "pair_count")
   }
