@@ -140,6 +140,7 @@ object GraftFunctions {
   val gramBucketsName = "graft_gram_buckets"
   val minhashBandsName = "graft_minhash_bands"
   val minhashBandsXXName = "graft_minhash_bands_xx"
+  val nearestCentroidName = "graft_nearest_centroid"
 
   /** Arity guard shared by the catalog builders: a wrong-arity SQL call
     * fails with the function's name and signature, never a bare
@@ -257,7 +258,13 @@ object GraftFunctions {
       "_FUNC_(token, numHashes) - MinHash signature aggregate over a " +
         "token column, one long[] buffer per group",
       exprs => { arity(minhashName, exprs, 2, "token, numHashes")
-        MinHashAgg(exprs(0), intLit(minhashName, exprs(1), "numHashes")) }))
+        MinHashAgg(exprs(0), intLit(minhashName, exprs(1), "numHashes")) }),
+    (nearestCentroidName, classOf[NearestCentroid],
+      "_FUNC_(v, centroids) - argmax-cosine centroid of a numeric-array " +
+        "vector over a foldable struct<id, ce> table, fused loop, " +
+        "returning struct<centroid_id, ccos> (ties to the lowest id)",
+      exprs => { arity(nearestCentroidName, exprs, 2, "v, centroids")
+        NearestCentroid(exprs(0), exprs(1)) }))
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -403,4 +410,12 @@ object GraftFunctions {
     call_function(projectPlanesName, embedding,
       org.apache.spark.sql.functions.typedlit(
         planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Argmax-cosine centroid over a literal (id, centroid-vector) table →
+    * struct<centroid_id, ccos> — the fused, exchange-free k-means / IVF
+    * E-step (see [[NearestCentroid]]'s equivalence contract). */
+  def nearestCentroid(embedding: Column,
+      centroids: Seq[(Long, Seq[Double])]): Column =
+    call_function(nearestCentroidName, embedding,
+      org.apache.spark.sql.functions.typedlit(centroids))
 }

@@ -798,14 +798,26 @@ object Dedup {
     * lifecycle like the LSH band cache). The interval-merge window
     * partitions BY DOC (thousands of rows each, never a global window);
     * everything else is equi-joins and linear aggregates. */
+  /** The spans shared by >= 2 distinct docs, as min(doc_id) <> max(doc_id)
+    * over ONE span-keyed exchange with map-side partials. The
+    * countDistinct form both consumers used before planned the
+    * two-exchange distinct aggregate — a (span, doc_id) exchange feeding
+    * a second span exchange — and at corpus scale the span frame is the
+    * job's largest intermediate, so the cut exchange is the win. The
+    * predicate is identical because doc_id is non-null (equal min/max ⟺
+    * exactly one distinct doc). [[dupSpans]] itself keeps countDistinct:
+    * its OUTPUT is the n_docs count, not the predicate. */
+  private def dupSpanSet(wins: DataFrame): DataFrame =
+    wins.groupBy("span")
+      .agg(min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
+      .filter(col("_d0") =!= col("_d1"))
+      .select("span")
+
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = CacheOnce(tokenWindows(df, idCol, textCol, n))
-    val dup = wins.groupBy("span")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select("span")
+    val dup = dupSpanSet(wins)
     // (doc, start, end) per duplicated-span occurrence; pos is unique per
     // doc (one window per position), so the merge sweep's ordering is
     // deterministic without a tiebreaker
@@ -856,10 +868,7 @@ object Dedup {
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = CacheOnce(tokenWindows(df, idCol, textCol, n))
-    val dup = wins.groupBy("span")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select("span")
+    val dup = dupSpanSet(wins) // min<>max, one exchange — see dupSpanSet
     val ivals = wins.join(dup, Seq("span"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(n - 1)).as("e"))

@@ -157,40 +157,61 @@ object Similarity {
 
   /** Deterministic k-means(++-ish) centroids for the IVF coarse quantizer:
     * init from a hash-sample of the corpus (lowest xxhash64 of vec_id —
-    * reproducible, no runtime randomness), then `iters` Lloyd rounds, each
-    * expressed as DataFrame jobs that scale: assignment is a broadcast of
-    * the (tiny) centroid set over one corpus scan; the mean update is
-    * posexplode → per-(cell, dim) partial avg → array reassembly. Spherical
-    * variant: assignment by max cosine; the un-normalized member mean is a
-    * valid centroid because cosine ignores magnitude. Cells that lose all
-    * members keep their previous centroid. */
+    * reproducible, no runtime randomness), then `iters` Lloyd rounds.
+    * Spherical variant: assignment by max cosine; the un-normalized
+    * member mean is a valid centroid because cosine ignores magnitude.
+    * Cells that lose all members keep their previous centroid.
+    *
+    * Lloyd state lives on the DRIVER between rounds: the centroid table
+    * is parameter-bounded (numCentroids rows × dim doubles — the same
+    * bounded-collect class as TotalOrder's nb−1 boundaries and the
+    * union-find edge set, and no more data than the old per-round
+    * `broadcast(centroids)` already collected to the driver to build its
+    * hash relation). Each round is then exactly ONE distributed action:
+    * the fused [[graft.functions.NearestCentroid]] E-step feeding the
+    * map-side-combined VectorMean M-step — per round, the corpus is
+    * SCANNED once and the only exchange carries ≤ numCentroids×tasks
+    * mean buffers. The previous DataFrame-state form paid, per round, a
+    * dedicated checkpoint job, a broadcast build, AND a full corpus
+    * exchange (embedding payloads included) for the argmax aggregate —
+    * see [[argmaxCentroid]]; at 10 Lloyd rounds over 100 TB that is ten
+    * corpus shuffles vs none. */
   def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
-    var centroids = vectors
+    val spark = vectors.sparkSession
+    var cent: Seq[(Long, Seq[Double])] = vectors
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), _.cast("double")).as("ce"))
       .withColumn("h", xxhash64(col("centroid_id")))
       .orderBy("h").limit(numCentroids).drop("h")
-      .localCheckpoint()
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val vmean = udaf(Aggregators.VectorMean())
     for (_ <- 0 until iters) {
-      // E-step via the argmax aggregate — no per-round corpus-wide
-      // window shuffle (see argmaxCentroid)
-      val assigned = argmaxCentroid(
-          vectors.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", centroids, keepEmb = true)
-        .select(col("centroid_id"), col("embedding"))
-      // M-step: one (sum-vector, count) buffer per cell via VectorMean —
-      // a single map-side-combined shuffle of numCells buffers, not the
+      // E+M in one job: per-row fused assignment (zero exchange), then
+      // one (sum-vector, count) buffer per cell via VectorMean — a
+      // single map-side-combined shuffle of numCells buffers, not the
       // posexplode → per-(cell,dim) avg → collect_list reassembly that
       // shuffled dim× rows per member vector per Lloyd round
-      val vmean = udaf(Aggregators.VectorMean())
+      val assigned = argmaxCentroid(
+          vectors.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroidFrame(spark, cent), keepEmb = true)
+        .select(col("centroid_id"), col("embedding"))
       val means = assigned
         .groupBy("centroid_id")
         .agg(vmean(transform(col("embedding"), _.cast("double"))).as("ce_new"))
-      centroids = centroids.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
-        .localCheckpoint()
+        .collect() // ≤ numCentroids rows — parameter-bounded
+      val byId = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cent = cent.map { case (id, ce) => (id, byId.getOrElse(id, ce)) }
     }
-    centroids
+    centroidFrame(spark, cent)
+  }
+
+  /** The (centroid_id, ce) frame for a driver-held centroid table — a
+    * LocalRelation, so downstream collects (the E-step kernel's bounded
+    * take, a store write's scan) never launch a cluster job for it. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("centroid_id", "ce")
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
@@ -202,33 +223,81 @@ object Similarity {
     * scale: candidate generation is an equi-join on cell_id, never a
     * cross join.
     */
-  /** argmax-by-cosine over the broadcast centroid set as a map-side-
-    * combined AGGREGATE: max(struct(ccos, -centroid_id, payload)) picks
-    * the best cell with the same tie-break as the window form (max ccos,
-    * then min centroid_id — struct ordering on a ccos tie maximizes
-    * -centroid_id), but replaces the `Window.partitionBy(id)` over the
-    * exploded |df|×|centroids| frame — a full shuffle + sort of every
-    * scored pair — with a hash aggregate that partial-combines back to
-    * one buffer per row map-side BEFORE the exchange. Same pattern as
-    * the segmentDedup hot-key fallback; at corpus scale it's the
-    * difference between shuffling nlist copies of the corpus and
-    * shuffling the corpus once. */
+  /** Inline cap for the kernel E-step: a centroid table at or below this
+    * rides the task binary as a [[graft.functions.NearestCentroid]]
+    * literal; above it the aggregate form below takes over (a
+    * multi-hundred-MB literal would bloat every task binary where a
+    * broadcast relation streams once per executor). 2^15 cells × a
+    * few-hundred-dim double vector is tens of MB — the practical nlist
+    * ceiling for an inline coarse quantizer. */
+  private[operators] val MaxInlineCentroids: Int = 1 << 15
+
+  /** argmax-by-cosine over the centroid set — the k-means / IVF E-step.
+    *
+    * Primary path: the fused [[graft.functions.NearestCentroid]] kernel —
+    * per-row argmax over the (bounded, collected) centroid table, ZERO
+    * corpus exchange. The previous aggregate form —
+    * `crossJoin(broadcast(centroids))` then
+    * `groupBy(id).agg(max(struct(ccos, -centroid_id, payload)))` —
+    * partial-combined map-side (id is unique, so each vector's
+    * numCentroids scored rows collapse locally), but the aggregate's
+    * required clustering still EXCHANGED every (id, embedding, score)
+    * row: one full corpus shuffle, embedding payloads included, per
+    * assignment pass — per Lloyd ROUND in the trainer — purely to
+    * satisfy a distribution the unique key already meets. The kernel
+    * computes the same argmax (same cosine arithmetic, same
+    * (ccos, -centroid_id) ordering, same null algebra — the equivalence
+    * contract and its spec live on [[graft.functions.NearestCentroid]])
+    * inside the row's own task.
+    *
+    * Fallback above [[MaxInlineCentroids]]: the aggregate form, kept
+    * verbatim — still window-free and map-side combined. */
   private def argmaxCentroid(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, keepEmb: Boolean): DataFrame = {
-    val payload =
-      if (keepEmb) struct(col("ccos"), (-col("centroid_id")).as("nid"),
-        col(embCol).as("emb"))
-      else struct(col("ccos"), (-col("centroid_id")).as("nid"))
-    val best = df.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col(embCol), col("ce")))
-      .groupBy(col(idCol))
-      .agg(max(payload).as("m"))
-    if (keepEmb)
-      best.select(col(idCol), col("m.emb").as(embCol),
-        (-col("m.nid")).as("centroid_id"), col("m.ccos").as("ccos"))
-    else
-      best.select(col(idCol), (-col("m.nid")).as("centroid_id"),
-        col("m.ccos").as("ccos"))
+    val head = centroids
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("ce"))
+      .take(MaxInlineCentroids + 1)
+    if (head.length == 0) {
+      // composed-form parity: a crossJoin against an empty centroid
+      // table produced an empty frame
+      val empty = df.filter(lit(false))
+      val tail = Seq(lit(null).cast("long").as("centroid_id"),
+        lit(null).cast("double").as("ccos"))
+      if (keepEmb) empty.select(col(idCol) +: col(embCol) +: tail: _*)
+      else empty.select(col(idCol) +: tail: _*)
+    } else if (head.length <= MaxInlineCentroids) {
+      val table: Seq[(Long, Seq[Double])] = head.toSeq.map { r =>
+        val ce = r.getSeq[Any](1).map {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.toDouble // exact, as in-loop widening
+          case l: java.lang.Long => l.toDouble
+          case i: java.lang.Integer => i.toDouble
+          case null => 0.0 // unsafe-array raw-read parity
+        }
+        (r.getLong(0), ce)
+      }
+      val best = df.withColumn("_nc",
+        graft.functions.GraftFunctions.nearestCentroid(col(embCol), table))
+      val tail = Seq(col("_nc.centroid_id").as("centroid_id"),
+        col("_nc.ccos").as("ccos"))
+      if (keepEmb) best.select(col(idCol) +: col(embCol) +: tail: _*)
+      else best.select(col(idCol) +: tail: _*)
+    } else {
+      val payload =
+        if (keepEmb) struct(col("ccos"), (-col("centroid_id")).as("nid"),
+          col(embCol).as("emb"))
+        else struct(col("ccos"), (-col("centroid_id")).as("nid"))
+      val best = df.crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosine(col(embCol), col("ce")))
+        .groupBy(col(idCol))
+        .agg(max(payload).as("m"))
+      if (keepEmb)
+        best.select(col(idCol), col("m.emb").as(embCol),
+          (-col("m.nid")).as("centroid_id"), col("m.ccos").as("ccos"))
+      else
+        best.select(col(idCol), (-col("m.nid")).as("centroid_id"),
+          col("m.ccos").as("ccos"))
+    }
   }
 
   /** Cell assignment = arg-top-`keep` cosine over the (broadcast)

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one registered gate query to completion and report its
+  * Spark job / stage / task counts (`sbt "runMain graft.plans.JobCount
+  * <name>[,<name>...] [sfDir]"`) under the bench session confs. Wall
+  * clock on this time-shared host swings 3× with neighbor load; job and
+  * task counts are DETERMINISTIC, so they are the right before/after
+  * evidence for job-count optimizations (lazy checkpoints, fused
+  * passes) — the same reason Bench itself records spills/failed tasks.
+  * Counts are per query with listener-bus drain between queries. */
+object JobCount {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq("sim_ann_ivf"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-jobcount")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (sys.env.contains("GRAFT_JOBNAMES")) {
+            val cs = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?")
+            println(s"[jobname] job=${e.jobId} stages=${e.stageInfos.size} $cs")
+          }
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks)
+        }
+      })
+    val byName = graft.SparkEntry.allQueries.map(q => q.name -> q).toMap
+    names.foreach { n =>
+      byName.get(n) match {
+        case Some(q) =>
+          // same memo/cache hygiene as a timed bench query
+          graft.operators.Dedup.invalidateBloomMemo(spark)
+          graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
+          val (j0, s0, t0) = (jobs.get(), stages.get(), tasks.get())
+          val w0 = System.nanoTime()
+          q.run(spark, sfDir).count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          // drain the async listener bus before reading the counters
+          // (private API; a bounded sleep is enough at this job scale)
+          Thread.sleep(300)
+          println(f"[jobcount] $n%-28s jobs=${jobs.get() - j0}%3d " +
+            f"stages=${stages.get() - s0}%3d tasks=${tasks.get() - t0}%5d " +
+            f"wall=$wall%.3f")
+          spark.catalog.clearCache()
+        case None => System.err.println(s"[jobcount] unknown query '$n'")
+      }
+    }
+    spark.stop()
+  }
+}
