@@ -141,6 +141,7 @@ object GraftFunctions {
   val minhashBandsName = "graft_minhash_bands"
   val minhashBandsXXName = "graft_minhash_bands_xx"
   val nearestCentroidName = "graft_nearest_centroid"
+  val bpeMergeOnceName = "graft_bpe_merge_once"
 
   /** Arity guard shared by the catalog builders: a wrong-arity SQL call
     * fails with the function's name and signature, never a bare
@@ -264,7 +265,13 @@ object GraftFunctions {
         "vector over a foldable struct<id, ce> table, fused loop, " +
         "returning struct<centroid_id, ccos> (ties to the lowest id)",
       exprs => { arity(nearestCentroidName, exprs, 2, "v, centroids")
-        NearestCentroid(exprs(0), exprs(1)) }))
+        NearestCentroid(exprs(0), exprs(1)) }),
+    (bpeMergeOnceName, classOf[BpeMergeOnce],
+      "_FUNC_(pieces, pair) - one reference left-to-right BPE merge " +
+        "pass of a foldable [x, y] pair over a piece array (the bpeTrain " +
+        "round step), allocation-light fused loop",
+      exprs => { arity(bpeMergeOnceName, exprs, 2, "pieces, pair")
+        BpeMergeOnce(exprs(0), exprs(1)) }))
 
   /** Idempotent session registration of the custom expressions, planner
     * strategy, and optimizer rule, making them reachable from both the
@@ -418,4 +425,11 @@ object GraftFunctions {
       centroids: Seq[(Long, Seq[Double])]): Column =
     call_function(nearestCentroidName, embedding,
       org.apache.spark.sql.functions.typedlit(centroids))
+
+  /** One reference LTR merge pass of (x, y) over a piece array — the
+    * fused bpeTrain round step (see [[BpeMergeOnce]]'s equivalence
+    * contract with the `aggregate` fold it replaces). */
+  def bpeMergeOnce(pieces: Column, x: String, y: String): Column =
+    call_function(bpeMergeOnceName, pieces,
+      org.apache.spark.sql.functions.typedlit(Seq(x, y)))
 }

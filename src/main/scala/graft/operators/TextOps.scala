@@ -551,13 +551,16 @@ object TextOps {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         val m = x + y
         learned += ((step.toLong, x, y, m, cnt))
+        // one fused LTR merge pass per word (graft_bpe_merge_once) — the
+        // interpreted `aggregate` fold this replaces rebuilt the
+        // accumulator array per element (O(|pieces|²) allocations per
+        // word per round, paid by every word type whether or not it
+        // contains the pair); the kernel pre-scans and returns the input
+        // array untouched for the non-containing majority.
+        // BpeMergeOnceSpec pins fold ≡ kernel.
         vocab = vocab
-          .withColumn("ps", aggregate(col("ps"),
-            array().cast("array<string>"),
-            (acc, p) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(x) && p === lit(y),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-              .otherwise(concat(acc, array(p)))))
+          .withColumn("ps",
+            graft.functions.GraftFunctions.bpeMergeOnce(col("ps"), x, y))
           .localCheckpoint(false)
         step += 1
       }

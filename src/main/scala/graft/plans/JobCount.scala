@@ -31,6 +31,9 @@ object JobCount {
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)
     val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    // executor CPU ns — the load-robust cost measure on a time-shared
+    // host (wall swings 3× with neighbor waves; CPU time does not)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -48,6 +51,11 @@ object JobCount {
           stages.incrementAndGet()
           tasks.addAndGet(e.stageInfo.numTasks)
         }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(e.taskMetrics).foreach { m =>
+            cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+          }
       })
     val byName = graft.SparkEntry.allQueries.map(q => q.name -> q).toMap
     names.foreach { n =>
@@ -56,7 +64,8 @@ object JobCount {
           // same memo/cache hygiene as a timed bench query
           graft.operators.Dedup.invalidateBloomMemo(spark)
           graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
-          val (j0, s0, t0) = (jobs.get(), stages.get(), tasks.get())
+          val (j0, s0, t0, c0) =
+            (jobs.get(), stages.get(), tasks.get(), cpuNs.get())
           val w0 = System.nanoTime()
           q.run(spark, sfDir).count()
           val wall = (System.nanoTime() - w0) / 1e9
@@ -65,7 +74,7 @@ object JobCount {
           Thread.sleep(300)
           println(f"[jobcount] $n%-28s jobs=${jobs.get() - j0}%3d " +
             f"stages=${stages.get() - s0}%3d tasks=${tasks.get() - t0}%5d " +
-            f"wall=$wall%.3f")
+            f"wall=$wall%.3f cpu=${(cpuNs.get() - c0) / 1e9}%.3f")
           spark.catalog.clearCache()
         case None => System.err.println(s"[jobcount] unknown query '$n'")
       }
