@@ -43,10 +43,17 @@ object Bench {
       extends org.apache.spark.scheduler.SparkListener {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0)
     val failed = new java.util.concurrent.atomic.AtomicLong(0)
+    // executor CPU ns (executor + deserialize): the LOAD-ROBUST per-query
+    // cost measure — wall-clock on this time-shared host swings 3× with
+    // neighbor waves, CPU time does not (r15's JobCount CPU column was
+    // the only instrument that could separate noise from regression;
+    // recording it per query makes that ruling mechanical)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       Option(e.taskMetrics).foreach { m =>
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
       }
       if (e.reason != org.apache.spark.Success) failed.incrementAndGet()
     }
@@ -206,12 +213,14 @@ object Bench {
 
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMDIR", sfDir)
     queries.foreach { q =>
-      // warm under the SAME memo state as the timed pass (memos cleared)
-      // — a warm pass with warm memos can compile a different plan shape
-      // than the cold timed pass will run, and the timed region then
-      // pays the Janino+JIT compile the warm pass exists to absorb
+      // warm under the SAME memo AND catalog state as the timed pass
+      // (memos cleared, persisted order-stats dropped) — a warm pass with
+      // warm state can compile a different plan shape than the cold timed
+      // pass will run, and the timed region then pays the Janino+JIT
+      // compile the warm pass exists to absorb
       graft.operators.Dedup.invalidateBloomMemo(spark)
       graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
+      graft.operators.TotalOrder.dropPersistedStats(spark)
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // bound storage across the warm sweep
     }
@@ -235,9 +244,18 @@ object Bench {
     // DuckDB baseline executes the full NOT EXISTS/scan every run. Reset
     // both memos before every timed query (and before cold reruns) so each
     // measured number includes the build its oracle semantics include.
+    // The PERSISTED order-stats/boundary tables are dropped on the same
+    // schedule (r16, closing the r15 verdict's posture ruling): the warm
+    // sweep would otherwise land them in the warehouse and the timed pass
+    // would serve ~nb numbers where the DuckDB control re-aggregates the
+    // corpus — the exact asymmetry this block's principle forbids. The
+    // timed gate rebuilds the stats via its own ensureOrderStats call, so
+    // the plan SHAPE is identical; only the build is now paid where the
+    // oracle pays it.
     def resetMemos(): Unit = {
       graft.operators.Dedup.invalidateBloomMemo(spark)
       graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
+      graft.operators.TotalOrder.dropPersistedStats(spark)
     }
 
     val loadStart = loadavg()
@@ -246,10 +264,12 @@ object Bench {
     var loads = List.empty[(String, Double)]
     var spills = List.empty[(String, Long)]
     var fails = List.empty[(String, Long)]
+    var cpus_ = List.empty[(String, Double)]
     val results = queries.map { q =>
       val loadAtStart = loadavg()
       loads ::= (q.name -> loadAtStart)
-      val (spill0, fail0) = (health.spilled.get(), health.failed.get())
+      val (spill0, fail0, cpu0) =
+        (health.spilled.get(), health.failed.get(), health.cpuNs.get())
       resetMemos()
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -257,6 +277,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
+      // CPU attribution for the FIRST pass only (the reported time), read
+      // before any rerun adds its own tasks; the bus drains within ms of
+      // count() returning (queries run strictly one at a time)
+      cpus_ ::= (q.name -> (health.cpuNs.get() - cpu0) / 1e9)
       // self-defense triggers: regression vs the last committed artifact
       // (>1.5× prior, with a 0.5 s floor so sub-second jitter doesn't
       // churn), or slow under heavy neighbor load
@@ -299,6 +323,9 @@ object Bench {
     val spillPer = spills.reverse
       .map { case (n, b) => "\"" + n + "\":" + b }
       .mkString("{", ",", "}")
+    val cpuPer = cpus_.reverse
+      .map { case (n, c) => "\"" + n + "\":" + r3(c) }
+      .mkString("{", ",", "}")
     val failPer = fails.reverse
       .map { case (n, c) => "\"" + n + "\":" + c }
       .mkString("{", ",", "}")
@@ -310,7 +337,7 @@ object Bench {
     // the JSON line's head was truncated. stdout gets a compact line
     // (family subtotals + slowest queries) that fits the tail window.
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_entry":$loadEntry,"settle_wait_sec":${r3(settleWait)},"loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_entry":$loadEntry,"settle_wait_sec":${r3(settleWait)},"loadavg_prewarm":$loadPreWarm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"baseline":"$baselineStatus","reruns":$rr,"load_per_query":$loadPer,"cpu_sec":$cpuPer,"spill_bytes":$spillPer,"failed_tasks":$failPer}"""
     // filtered dev runs must never clobber the full-surface artifacts
     val fullPath = java.nio.file.Paths.get(
       if (only.isDefined) "BENCH_DEV.json" else "BENCH_FULL.json")

@@ -34,6 +34,12 @@ object JobCount {
     // executor CPU ns — the load-robust cost measure on a time-shared
     // host (wall swings 3× with neighbor waves; CPU time does not)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-stage task durations, for the skew read (max/median per stage;
+    // a max/median ratio above ~5-10× is the guide-§2.5 skew signature)
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val stageShufRead = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -55,8 +61,27 @@ object JobCount {
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           Option(e.taskMetrics).foreach { m =>
             cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+            stageTasks.computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+              .add(Option(e.taskInfo).map(_.duration).getOrElse(0L))
+            stageShufRead.computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.atomic.AtomicLong())
+              .addAndGet(m.shuffleReadMetrics.totalBytesRead)
           }
       })
+    // drain the async listener bus before reading counters: the real
+    // waitUntilEmpty (private[spark]) via reflection, a bounded sleep as
+    // fallback — a fixed sleep under-reports on a loaded host (r15 advice)
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val busM = sc.getClass.getMethods.find(_.getName == "listenerBus").get
+        val bus = busM.invoke(sc)
+        val wait = bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .get
+        wait.invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(1000) }
     val byName = graft.SparkEntry.allQueries.map(q => q.name -> q).toMap
     names.foreach { n =>
       byName.get(n) match {
@@ -64,17 +89,36 @@ object JobCount {
           // same memo/cache hygiene as a timed bench query
           graft.operators.Dedup.invalidateBloomMemo(spark)
           graft.operators.TotalOrder.invalidateBoundaryMemo(spark)
+          graft.operators.TotalOrder.dropPersistedStats(spark)
+          stageTasks.clear(); stageShufRead.clear()
           val (j0, s0, t0, c0) =
             (jobs.get(), stages.get(), tasks.get(), cpuNs.get())
           val w0 = System.nanoTime()
           q.run(spark, sfDir).count()
           val wall = (System.nanoTime() - w0) / 1e9
-          // drain the async listener bus before reading the counters
-          // (private API; a bounded sleep is enough at this job scale)
-          Thread.sleep(300)
+          drainBus()
           println(f"[jobcount] $n%-28s jobs=${jobs.get() - j0}%3d " +
             f"stages=${stages.get() - s0}%3d tasks=${tasks.get() - t0}%5d " +
             f"wall=$wall%.3f cpu=${(cpuNs.get() - c0) / 1e9}%.3f")
+          if (sys.env.contains("GRAFT_STAGES")) {
+            // per-stage task-time shape, heaviest stages first: the
+            // guide-§2.5 skew read (max ≫ median) and the straggler read
+            // (sum ≪ n×max) in one line per stage
+            import scala.jdk.CollectionConverters._
+            val byStage = stageTasks.asScala.toSeq.map { case (sid, q) =>
+              val ds = q.asScala.toArray.sorted
+              val sum = ds.sum
+              (sid, ds, sum)
+            }.sortBy(-_._3).take(12)
+            byStage.foreach { case (sid, ds, sum) =>
+              val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
+              val mx = if (ds.isEmpty) 0L else ds.last
+              val sr = Option(stageShufRead.get(sid)).map(_.get).getOrElse(0L)
+              println(f"[stage] $n%-22s stage=$sid%4d n=${ds.length}%5d " +
+                f"sum=${sum / 1e3}%8.2fs med=${med / 1e3}%7.3fs " +
+                f"max=${mx / 1e3}%7.3fs shufRead=${sr / 1e6}%8.1fMB")
+            }
+          }
           spark.catalog.clearCache()
         case None => System.err.println(s"[jobcount] unknown query '$n'")
       }
