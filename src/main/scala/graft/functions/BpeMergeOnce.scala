@@ -28,7 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * new xy, being strictly longer than x, can never seed an immediate
   * re-merge — the reference pass's continue-past-the-merge); else
   * append. A null piece never matches (the fold's null comparison falls
-  * through to append); a null input array yields null. */
+  * through to append); a null input array yields null.
+  *
+  * Aliasing constraint: the no-hit fast path returns the input ArrayData
+  * BY REFERENCE. If the input is an UnsafeArrayData view over a reused
+  * row buffer, a consumer that RETAINS the result across rows without
+  * copying (collect_list, aggregation buffers) would see values alias.
+  * The trainer's consumer (a projection followed by localCheckpoint)
+  * copies every row, so this is safe there; route any buffer-retaining
+  * consumer through a copy() first. */
 case class BpeMergeOnce(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -45,7 +53,21 @@ case class BpeMergeOnce(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable array<string> [x, y] pair, " +
           s"got ${right.dataType.simpleString}")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // right is foldable, so the pair's SHAPE (exactly two non-null
+      // elements) is checkable at analysis — a malformed call fails the
+      // query plan instead of a task mid-job (the lazy val below keeps a
+      // defensive require for callers that eval without analysis)
+      val arr = right.eval().asInstanceOf[ArrayData]
+      if (arr == null || arr.numElements() != 2)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName pair literal must be [x, y], got " +
+            (if (arr == null) "null" else s"${arr.numElements()} elements"))
+      else if (arr.isNullAt(0) || arr.isNullAt(1))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName pair elements must be non-null")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 

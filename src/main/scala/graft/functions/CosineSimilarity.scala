@@ -426,6 +426,18 @@ object GraftFunctions {
     call_function(nearestCentroidName, embedding,
       org.apache.spark.sql.functions.typedlit(centroids))
 
+  /** [[nearestCentroid]] with the table as a BROADCAST VARIABLE — the
+    * mid-size transport tier (same kernel loop, table fetched once per
+    * executor instead of riding every task binary as a literal). The
+    * caller broadcasts its already-collected table; see
+    * [[NearestCentroidBcast]]. */
+  def nearestCentroidBcast(embedding: Column,
+      table: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Double]])]): Column =
+    org.apache.spark.sql.GraftSqlInternals.column(
+      NearestCentroidBcast(
+        org.apache.spark.sql.GraftSqlInternals.expression(embedding), table))
+
   /** One reference LTR merge pass of (x, y) over a piece array — the
     * fused bpeTrain round step (see [[BpeMergeOnce]]'s equivalence
     * contract with the `aggregate` fold it replaces). */

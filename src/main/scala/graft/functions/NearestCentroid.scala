@@ -95,60 +95,15 @@ case class NearestCentroid(left: Expression, right: Expression)
 
   @transient private lazy val leftElem: DataType = elemType(left.dataType).get
 
-  @inline private def get(arr: ArrayData, et: DataType, i: Int): Double =
-    et match {
-      case DoubleType => arr.getDouble(i)
-      case FloatType => arr.getFloat(i).toDouble
-      case LongType => arr.getLong(i).toDouble
-      case IntegerType => arr.getInt(i).toDouble
-      case other => throw new IllegalStateException(
-        s"$prettyName: unsupported element type $other")
-    }
-
-  /** max(struct(ccos, -id)) double semantics: SQL equality first (so
-    * -0.0 == 0.0), then Double.compare (NaN greatest). */
-  @inline private def cmp(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b)
-
   /** The fused argmax — public to the generated code (invoked per row
     * from the codegen'd projection; the loop itself is JIT-compiled
     * Scala, so there is no interpreted expression tree on the hot
-    * path). Returns null iff the centroid table is empty. */
-  def bestOf(v: ArrayData): InternalRow = {
-    if (ids.length == 0) return null
-    var bestId = Long.MaxValue // lowest id among all-null scores
-    var bestCos = 0.0
-    var haveCos = false
-    var c = 0
-    while (c < ids.length) {
-      val ce = mat(c)
-      var score = 0.0
-      var valid = false
-      if (v != null) {
-        val n = math.min(v.numElements(), ce.length)
-        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-        while (i < n) {
-          val xi = get(v, leftElem, i); val yi = ce(i)
-          dot += xi * yi; nx += xi * xi; ny += yi * yi
-          i += 1
-        }
-        val denom = math.sqrt(nx) * math.sqrt(ny)
-        if (denom != 0.0) { score = dot / denom; valid = true }
-      }
-      if (valid) {
-        // non-null beats null; else higher score; tie → lower id
-        if (!haveCos || cmp(score, bestCos) > 0 ||
-            (cmp(score, bestCos) == 0 && ids(c) < bestId)) {
-          haveCos = true; bestCos = score; bestId = ids(c)
-        }
-      } else if (!haveCos && ids(c) < bestId) {
-        bestId = ids(c)
-      }
-      c += 1
-    }
-    new GenericInternalRow(Array[Any](bestId,
-      if (haveCos) java.lang.Double.valueOf(bestCos) else null))
-  }
+    * path). Returns null iff the centroid table is empty. The loop
+    * itself lives on the companion ([[NearestCentroid.bestOfTable]]) so
+    * the broadcast-tier twin ([[NearestCentroidBcast]]) runs the
+    * IDENTICAL kernel. */
+  def bestOf(v: ArrayData): InternalRow =
+    NearestCentroid.bestOfTable(ids, mat, v, leftElem)
 
   override def eval(input: InternalRow): Any = {
     val v = left.eval(input)
@@ -172,4 +127,63 @@ case class NearestCentroid(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroid =
     copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+
+  @inline private def get(arr: ArrayData, et: DataType, i: Int): Double =
+    et match {
+      case DoubleType => arr.getDouble(i)
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case other => throw new IllegalStateException(
+        s"graft_nearest_centroid: unsupported element type $other")
+    }
+
+  /** max(struct(ccos, -id)) double semantics: SQL equality first (so
+    * -0.0 == 0.0), then Double.compare (NaN greatest). */
+  @inline private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** The one fused argmax loop BOTH transport tiers run — literal
+    * ([[NearestCentroid]]) and broadcast ([[NearestCentroidBcast]]) —
+    * so tier choice can never change a result. Semantics documented on
+    * the class scaladoc; returns null iff the centroid table is empty. */
+  private[functions] def bestOfTable(ids: Array[Long],
+      mat: Array[Array[Double]], v: ArrayData, et: DataType): InternalRow = {
+    if (ids.length == 0) return null
+    var bestId = Long.MaxValue // lowest id among all-null scores
+    var bestCos = 0.0
+    var haveCos = false
+    var c = 0
+    while (c < ids.length) {
+      val ce = mat(c)
+      var score = 0.0
+      var valid = false
+      if (v != null) {
+        val n = math.min(v.numElements(), ce.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < n) {
+          val xi = get(v, et, i); val yi = ce(i)
+          dot += xi * yi; nx += xi * xi; ny += yi * yi
+          i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        if (denom != 0.0) { score = dot / denom; valid = true }
+      }
+      if (valid) {
+        // non-null beats null; else higher score; tie → lower id
+        if (!haveCos || cmp(score, bestCos) > 0 ||
+            (cmp(score, bestCos) == 0 && ids(c) < bestId)) {
+          haveCos = true; bestCos = score; bestId = ids(c)
+        }
+      } else if (!haveCos && ids(c) < bestId) {
+        bestId = ids(c)
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestId,
+      if (haveCos) java.lang.Double.valueOf(bestCos) else null))
+  }
 }

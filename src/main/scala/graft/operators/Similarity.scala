@@ -223,14 +223,25 @@ object Similarity {
     * scale: candidate generation is an equi-join on cell_id, never a
     * cross join.
     */
-  /** Inline cap for the kernel E-step: a centroid table at or below this
-    * rides the task binary as a [[graft.functions.NearestCentroid]]
-    * literal; above it the aggregate form below takes over (a
-    * multi-hundred-MB literal would bloat every task binary where a
-    * broadcast relation streams once per executor). 2^15 cells × a
-    * few-hundred-dim double vector is tens of MB — the practical nlist
-    * ceiling for an inline coarse quantizer. */
-  private[operators] val MaxInlineCentroids: Int = 1 << 15
+  /** Row cap for the KERNEL E-step (either transport tier): a centroid
+    * table at or below this is collected once and riffed per-row; above
+    * it the aggregate form takes over. 2^15 cells is the practical nlist
+    * ceiling for a coarse quantizer held whole per executor. */
+  private[operators] val MaxKernelCentroids: Int = 1 << 15
+
+  /** Byte budget for the LITERAL transport tier (r15 verdict #4: the old
+    * 2^15-row cap let tens of MB ride every task binary and plan
+    * string). At or below this the table is a plan literal (zero
+    * per-executor setup); above it — up to [[MaxKernelCentroids]] rows —
+    * it travels as a broadcast variable, fetched once per executor
+    * ([[graft.functions.NearestCentroidBcast]], same kernel loop).
+    * Conf-overridable for tests and tuning; 4 MB default ≈ the point
+    * where per-task deserialization of the literal visibly beats a
+    * one-time broadcast fetch. */
+  private[operators] def maxInlineCentroidBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.nearestCentroid.maxInlineBytes")
+      .map(_.toLong).getOrElse(4L << 20)
 
   /** argmax-by-cosine over the centroid set — the k-means / IVF E-step.
     *
@@ -250,13 +261,25 @@ object Similarity {
     * contract and its spec live on [[graft.functions.NearestCentroid]])
     * inside the row's own task.
     *
-    * Fallback above [[MaxInlineCentroids]]: the aggregate form, kept
-    * verbatim — still window-free and map-side combined. */
+    * Transport tiers (r16): tables within a byte budget
+    * ([[maxInlineCentroidBytes]], 4 MB default) ride the plan as a
+    * literal; larger tables up to [[MaxKernelCentroids]] rows travel as
+    * a BROADCAST VARIABLE through the identical kernel loop
+    * ([[graft.functions.NearestCentroidBcast]]) — one fetch per executor
+    * instead of a multi-MB blob in every task binary and plan string.
+    * Both tiers reuse the ONE bounded collect below (no re-evaluation).
+    *
+    * Fallback above [[MaxKernelCentroids]] rows: the aggregate form,
+    * kept verbatim — still window-free and map-side combined. Note the
+    * fallback RE-EVALUATES the centroid plan (the bounded take already
+    * consumed one evaluation), so the centroid frame must be
+    * deterministic — every caller's is (driver-held Lloyd state, hash
+    * -sampled quantizers, persisted index tables). */
   private def argmaxCentroid(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, keepEmb: Boolean): DataFrame = {
     val head = centroids
       .select(col("centroid_id").cast("long").as("centroid_id"), col("ce"))
-      .take(MaxInlineCentroids + 1)
+      .take(MaxKernelCentroids + 1)
     if (head.length == 0) {
       // composed-form parity: a crossJoin against an empty centroid
       // table produced an empty frame
@@ -265,7 +288,7 @@ object Similarity {
         lit(null).cast("double").as("ccos"))
       if (keepEmb) empty.select(col(idCol) +: col(embCol) +: tail: _*)
       else empty.select(col(idCol) +: tail: _*)
-    } else if (head.length <= MaxInlineCentroids) {
+    } else if (head.length <= MaxKernelCentroids) {
       val table: Seq[(Long, Seq[Double])] = head.toSeq.map { r =>
         val ce = r.getSeq[Any](1).map {
           case d: java.lang.Double => d.doubleValue()
@@ -276,8 +299,19 @@ object Similarity {
         }
         (r.getLong(0), ce)
       }
-      val best = df.withColumn("_nc",
-        graft.functions.GraftFunctions.nearestCentroid(col(embCol), table))
+      // 16 bytes of id+header per row + 8 per element — close enough to
+      // the serialized literal's footprint to pick a transport on
+      val approxBytes = table.iterator
+        .map(t => 16L + 8L * t._2.length).sum
+      val nc =
+        if (approxBytes <= maxInlineCentroidBytes(df.sparkSession))
+          graft.functions.GraftFunctions.nearestCentroid(col(embCol), table)
+        else {
+          val bc = df.sparkSession.sparkContext.broadcast(
+            (table.map(_._1).toArray, table.map(_._2.toArray).toArray))
+          graft.functions.GraftFunctions.nearestCentroidBcast(col(embCol), bc)
+        }
+      val best = df.withColumn("_nc", nc)
       val tail = Seq(col("_nc.centroid_id").as("centroid_id"),
         col("_nc.ccos").as("ccos"))
       if (keepEmb) best.select(col(idCol) +: col(embCol) +: tail: _*)
@@ -305,7 +339,12 @@ object Similarity {
     * the persisted [[IvfIndex]]. keep = 1 (the corpus-sized side) takes
     * the shuffle-light [[argmaxCentroid]] aggregate; keep > 1 (the
     * query-sided probe expansion, small by construction) keeps the
-    * row_number window. */
+    * row_number window.
+    *
+    * PRECONDITION: `idCol` must be unique per row. The kernel path is
+    * per-row and preserves row multiplicity, where the old
+    * groupBy(id).agg(max(...)) form collapsed duplicate ids as a side
+    * effect (r15 advice). Every caller feeds unique vector/doc ids. */
   def assignCells(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, keep: Int): DataFrame =
     if (keep == 1) {
@@ -326,7 +365,8 @@ object Similarity {
     * then balance sources per cluster"), oracle-able whenever the centroid
     * frame is deterministic. Same window tail as [[assignCells]]; the
     * centroid set is bounded (numCentroids rows), so the broadcast is
-    * scale-safe by construction. */
+    * scale-safe by construction. Same unique-`idCol` precondition as
+    * [[assignCells]] (the kernel preserves row multiplicity). */
   def clusterAssign(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame): DataFrame =
     argmaxCentroid(df, idCol, embCol, centroids, keepEmb = false)

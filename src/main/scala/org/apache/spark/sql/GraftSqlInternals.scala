@@ -13,4 +13,14 @@ object GraftSqlInternals {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Column over a custom Expression — needed for expressions that carry
+    * a RUNTIME object (a broadcast handle) and therefore cannot ride the
+    * SQL function registry's literal-only argument surface. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The (possibly unresolved) Expression under a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -93,6 +93,53 @@ class NearestCentroidSpec extends SparkSpec {
     assert(k(3L) === (5L, None))
   }
 
+  test("broadcast tier: identical kernel output through a broadcast table") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 5
+    val vecs = (0L until 200L).map { i =>
+      (i, Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "e")
+    val table = (0 until 12).map { c =>
+      (700L + c, Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+    }
+    val bc = spark.sparkContext.broadcast(
+      (table.map(_._1).toArray, table.map(_._2.toArray).toArray))
+    val viaBcast = vecs.select(col("vec_id"),
+        GraftFunctions.nearestCentroidBcast(col("e"), bc).as("m"))
+      .select(col("vec_id"), col("m.centroid_id"), col("m.ccos"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(viaBcast === kernel(vecs, table))
+    assert(viaBcast === composed(vecs, table.toDF("centroid_id", "ce")))
+  }
+
+  test("tier selection: above the inline byte budget the operator routes " +
+      "through the broadcast kernel with no per-task literal, same output") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val run = () => graft.operators.Similarity.assignCells(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents, keep = 1)
+    val inline = run()
+    spark.conf.set("graft.nearestCentroid.maxInlineBytes", "1")
+    try {
+      val bcast = run()
+      val plan = bcast.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_nearest_centroid_bcast"),
+        "above-budget table must take the broadcast tier")
+      // the whole point of the tier: the plan carries a handle, not the
+      // centroid matrix — no multi-KB literal in any task binary
+      assert(!plan.contains("graft_nearest_centroid(["), plan.take(500))
+      val got = bcast.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = inline.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === want)
+    } finally spark.conf.unset("graft.nearestCentroid.maxInlineBytes")
+  }
+
   test("operator: assignCells keep=1 output is identical through the kernel path") {
     // end-to-end through the production operator (which now selects the
     // kernel path for bounded centroid frames): compare against the raw
