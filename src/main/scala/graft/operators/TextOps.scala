@@ -392,16 +392,22 @@ object TextOps {
           col("lm_score").cast("string"))).cast("long"))
       .otherwise(packed)
     // Persist the rank-key boundaries as catalog state (idempotent; one
-    // sketch pass on the session's first call, every later consumer —
-    // including cold bench runs — reads nb−1 doubles IN-PLAN). With the
-    // boundary table served in-plan the whole rank costs ONE execution
-    // of the lmScore pipeline: both TotalOrder branches share the slim
-    // _pid exchange, so the former CacheOnce materialization (measured
-    // +0.54 s at bench sf just to build the 5000-row cache) is dead
-    // weight and is gone. Boundary values are correctness-neutral
-    // (any sorted array partitions the order), so serving stale
+    // sketch pass on the session's first call, every later consumer
+    // reads nb−1 doubles IN-PLAN). Boundary values are correctness-
+    // neutral (any sorted array partitions the order), so serving stale
     // boundaries after a corpus change only skews bucket balance.
-    val keyed = scored.withColumn("_k", key)
+    //
+    // The scored frame is CACHED (r16): a COLD run — production first
+    // call, and every bench-timed run under the r16 pay-the-build
+    // posture, which drops persisted boundaries before each measured
+    // query — otherwise executes the lmScore pipeline three times (the
+    // boundary sketch, TotalOrder's totals branch, and the data branch).
+    // The cache is the narrow per-doc (id, score) frame, not the corpus
+    // text, so it is metadata-sized at any scale; measured 3.37 → ~2.0 s
+    // at bench sf under the cold posture. (r15 removed this cache
+    // because with SERVED boundaries only one execution remained; the
+    // posture ruling flipped that trade back.)
+    val keyed = graft.operators.CacheOnce(scored.withColumn("_k", key))
     TotalOrder.persistBoundaries(keyed, "_k")
     val ranked = TotalOrder.globalRowNumber(keyed, "_k", "_rank")
     val q = floor(col("n_docs") / lit(k)).cast("long")

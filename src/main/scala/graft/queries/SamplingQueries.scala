@@ -104,8 +104,13 @@ object SamplingQueries {
         |  FROM documents) b
         |WHERE cum_tokens <= 5000
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+      // the narrow (id, n_toks) frame is cached (r16): a cold run —
+      // production first call, and every bench-timed run under the
+      // pay-the-build posture — otherwise tokenizes the corpus once for
+      // the boundary sketch and again for the per-bucket totals; the
+      // cache holds two longs per doc, never the text
+      val base = graft.operators.CacheOnce(t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks")))
       // land the order STATS (boundaries + per-bucket token totals,
       // fingerprinted on the corpus files) as catalog state once — the
       // ingest-time step of a production sharding flow. Cold runs then
@@ -139,8 +144,11 @@ object SamplingQueries {
       // (spec-pinned in SubwordTokenizeSpec)
       val nSub = graft.functions.GraftFunctions.subwordCount(
         TextOps.tokens(col("text")), TextOps.demoSubwordVocab)
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), nSub.as("n_toks"))
+      // cached for the same cold-run reason as smp_token_budget — and
+      // the subword count kernel is the most expensive per-doc term in
+      // the family, so re-running it per TotalOrder branch costs most
+      val base = graft.operators.CacheOnce(t(s, dir, "documents")
+        .select(col("doc_id"), nSub.as("n_toks")))
       // land the order stats once — same ingest-time step as the
       // whitespace budget gate (the per-bucket totals here are SUBWORD
       // totals: the stats key carries the weight column, and the base
@@ -165,11 +173,11 @@ object SamplingQueries {
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents) d
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+      val base = graft.operators.CacheOnce(t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks")))
       // same base plan as smp_token_budget → same persisted boundary
-      // table; the explicit call keeps the gate self-sufficient
-      // regardless of gate execution order
+      // table (and the CacheOnce hits the same cache entry); the explicit
+      // call keeps the gate self-sufficient regardless of execution order
       graft.operators.TotalOrder.persistBoundaries(base, "doc_id")
       Sampling.tokenShards(base, "doc_id", "n_toks", budget = 5000L)
         .select("doc_id", "shard_id")
